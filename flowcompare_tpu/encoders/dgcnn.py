@@ -1,0 +1,96 @@
+"""DGCNN conditioning encoders (per-point and global).
+
+Reference: `models/pytorch_gcn.py:50-188` (FlowCompare, itself derived from
+WangYueFt/dgcnn). Four EdgeConv stages on a dynamic feature-space kNN graph,
+skip-concat, a fused point MLP, then either a per-point residual MLP head or
+global max+avg pooling.
+
+TPU design: everything is channels-last (B, N, K, C) so each "Conv2d(k=1)"
+is a plain matmul on the MXU; the kNN graph is one batched distance matmul
++ top_k per stage (ops/knn.py). BatchNorm running statistics are explicit
+state threaded through the call (core/batchnorm.py).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.batchnorm import apply_batchnorm, init_batchnorm
+from ..core.initializers import apply_linear, torch_linear
+from ..core.mlp import apply_mlp, gelu, init_mlp
+from ..ops.knn import gather_neighbors, knn_self
+
+
+def edge_features(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(B, N, C) -> (B, N, K, 2C) with channels (neighbor - x, x).
+
+    Matches get_graph_feature (pytorch_gcn.py:23-47): the kNN graph is built
+    in the current feature space, features are (xj - xi, xi).
+    """
+    idx = knn_self(x, k)
+    neighbors = gather_neighbors(x, idx)
+    center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
+    return jnp.concatenate((neighbors - center, center), axis=-1)
+
+
+def _leaky(x):
+    return jax.nn.leaky_relu(x, negative_slope=0.2)
+
+
+def _init_conv_bn(key, in_dim, out_dim):
+    params = {"conv": torch_linear(key, in_dim, out_dim, bias=False)}
+    bn_params, bn_state = init_batchnorm(out_dim)
+    params["bn"] = bn_params
+    return params, bn_state
+
+
+def _conv_bn_leaky(params, state, x, training):
+    y = apply_linear(params["conv"], x)
+    y, new_state = apply_batchnorm(params["bn"], state, y, training=training)
+    return _leaky(y), new_state
+
+
+_EDGE_DIMS = [(None, 64), (64, 64), (64, 128), (128, 256)]
+
+
+def init_dgcnn(key: jax.Array, *, input_dim: int = 6, emb_dim: int,
+               out_mlp_dims, n_neighbors: int = 20,
+               global_pool: bool = False) -> Tuple[dict, dict]:
+    """Params+state for DGCNNembedder (global_pool=False) / DGCNNembedderGlobal."""
+    del n_neighbors  # static config, not a parameter
+    keys = jax.random.split(key, 6)
+    params, state = {}, {}
+    in0 = input_dim * 2
+    dims = [(in0, 64)] + [(c * 2, o) for (c, o) in _EDGE_DIMS[1:]]
+    for i, (cin, cout) in enumerate(dims, start=1):
+        p, s = _init_conv_bn(keys[i - 1], cin, cout)
+        params[f"conv{i}"], state[f"bn{i}"] = p, s
+    p5, s5 = _init_conv_bn(keys[4], 512, 512)
+    params["conv5"], state["bn5"] = p5, s5
+    head_in = 512 * 2 if global_pool else 512
+    params["out_mlp"] = init_mlp(keys[5], head_in, out_mlp_dims, emb_dim)
+    return params, state
+
+
+def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
+                n_neighbors: int = 20, training: bool = False,
+                global_pool: bool = False):
+    """x: (B, N, input_dim) -> ((B, N, emb_dim) or (B, emb_dim), new_state)."""
+    new_state = {}
+    feats = []
+    h = x
+    for i in range(1, 5):
+        e = edge_features(h, n_neighbors)
+        e, new_state[f"bn{i}"] = _conv_bn_leaky(
+            params[f"conv{i}"], state[f"bn{i}"], e, training)
+        h = jnp.max(e, axis=2)
+        feats.append(h)
+    h = jnp.concatenate(feats, axis=-1)  # (B, N, 512)
+    h, new_state["bn5"] = _conv_bn_leaky(params["conv5"], state["bn5"], h, training)
+    if global_pool:
+        h = jnp.concatenate([jnp.max(h, axis=1), jnp.mean(h, axis=1)], axis=-1)
+    out = apply_mlp(params["out_mlp"], h, gelu)
+    return out, new_state

@@ -1,0 +1,196 @@
+"""PAConv PointNet++ (SSG) conditioning encoder — TPU-native.
+
+Reference: `models/scene_seg_PAConv/model/pointnet2/pointnet2_paconv_seg.py`
+plus `paconv.py` / `pointnet2_paconv_modules.py`. Four set-abstraction
+levels (FPS -> kNN grouping -> PAConv weight-bank convolution -> max agg),
+four feature-propagation levels (3-NN inverse-distance interpolation + skip
+concat + shared MLP), and a residual out-MLP head.
+
+The CUDA kernels (furthestsampling, knnquery_heap, grouping, interpolation,
+assign_score_withk) are replaced by the jit-able primitives in ops/ — see
+ops/fps.py, ops/knn.py, ops/paconv_ops.py.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.batchnorm import apply_batchnorm, init_batchnorm
+from ..core.initializers import xavier_normal
+from ..core.mlp import apply_mlp, gelu, init_mlp
+from ..ops.fps import furthest_point_sampling
+from ..ops.knn import gather_neighbors, knn_indices, three_nn_interpolate
+from ..ops.paconv_ops import paconv_assign_score
+
+SA_MLPS = lambda c: [[c, 32, 32, 64], [64, 64, 64, 128],
+                     [128, 128, 128, 256], [256, 256, 256, 512]]
+FP_MLPS = lambda c: [[128 + c, 128, 128, 128], [256 + 64, 256, 128],
+                     [256 + 128, 256, 256], [512 + 256, 256, 256]]
+NSAMPLE = 32
+SCORENET_HIDDEN = [16]
+M_KERNELS = 8
+
+
+def _init_scorenet(key, in_dim: int, m: int):
+    """ScoreNet (paconv.py:12-54): Conv2d(1x1)+BN+ReLU chain, last layer has
+    bias and no BN, softmax over the m kernels."""
+    dims = [in_dim] + list(SCORENET_HIDDEN) + [m]
+    layers, states = [], []
+    keys = jax.random.split(key, len(dims) - 1)
+    for i in range(len(dims) - 1):
+        last = i == len(dims) - 2
+        lin = xavier_normal(keys[i], dims[i], dims[i + 1], bias=last)
+        bn_p, bn_s = (None, None) if last else init_batchnorm(dims[i + 1])
+        layers.append({"lin": lin, "bn": bn_p})
+        states.append(bn_s)
+    return {"layers": layers}, {"layers": states}
+
+
+def _apply_scorenet(params, state, xyz_feat, *, training):
+    """xyz_feat: (B, N, K, in_dim) -> scores (B, N, K, m), softmaxed."""
+    h = xyz_feat
+    new_states = []
+    n_layers = len(params["layers"])
+    for i, (layer, bn_state) in enumerate(zip(params["layers"], state["layers"])):
+        h = h @ layer["lin"]["w"]
+        if "b" in layer["lin"]:
+            h = h + layer["lin"]["b"]
+        if i < n_layers - 1:
+            h, bn_state = apply_batchnorm(layer["bn"], bn_state, h, training=training)
+            h = jax.nn.relu(h)
+        new_states.append(bn_state)
+    scores = jax.nn.softmax(h, axis=-1)
+    return scores, {"layers": new_states}
+
+
+def _init_paconv_layer(key, in_dim: int, out_dim: int, *, bn: bool = True):
+    k_score, k_bank = jax.random.split(key)
+    score_p, score_s = _init_scorenet(k_score, 3, M_KERNELS)
+    # weight bank: kaiming-normal on (m, 2*in, out) — torch's fan_in for a
+    # 3D tensor is size(1) * size(2) — reshaped to (2*in, m*out).
+    import math
+    std = math.sqrt(2.0 / (in_dim * 2 * out_dim))
+    bank = std * jax.random.normal(k_bank, (M_KERNELS, in_dim * 2, out_dim))
+    bank = jnp.transpose(bank, (1, 0, 2)).reshape(in_dim * 2, M_KERNELS * out_dim)
+    params = {"scorenet": score_p, "weightbank": bank}
+    state = {"scorenet": score_s}
+    if bn:
+        params["bn"], state["bn"] = init_batchnorm(out_dim)
+    return params, state
+
+
+def _apply_paconv_layer(params, state, feats, grouped_xyz_diff, *, training):
+    """One PAConv layer on grouped neighbourhoods.
+
+    feats: (B, N1, K, C) grouped input features; grouped_xyz_diff:
+    (B, N1, K, 3) neighbour positions relative to the centre. Returns
+    ((B, N1, K, O), new_state). score_input='identity' (the default config),
+    kernel_input='neighbor'.
+    """
+    center = feats[:, :, :1, :]
+    in_feat = jnp.concatenate((feats - center, feats), axis=-1)  # (B,N1,K,2C)
+    scores, score_state = _apply_scorenet(
+        params["scorenet"], state["scorenet"], grouped_xyz_diff, training=training)
+    out = paconv_assign_score(in_feat, params["weightbank"], scores, M_KERNELS)
+    new_state = {"scorenet": score_state}
+    if "bn" in params:
+        out, new_state["bn"] = apply_batchnorm(
+            params["bn"], state["bn"], out, training=training)
+        out = jax.nn.relu(out)
+    return out, new_state
+
+
+def _init_shared_mlp(key, dims, *, bn: bool = True):
+    layers, states = [], []
+    keys = jax.random.split(key, len(dims) - 1)
+    for i in range(len(dims) - 1):
+        lin = xavier_normal(keys[i], dims[i], dims[i + 1], bias=not bn)
+        bn_p, bn_s = init_batchnorm(dims[i + 1]) if bn else (None, None)
+        layers.append({"lin": lin, "bn": bn_p})
+        states.append(bn_s)
+    return {"layers": layers}, {"layers": states}
+
+
+def _apply_shared_mlp(params, state, h, *, training):
+    new_states = []
+    for layer, bn_state in zip(params["layers"], state["layers"]):
+        h = h @ layer["lin"]["w"]
+        if "b" in layer["lin"]:
+            h = h + layer["lin"]["b"]
+        if layer["bn"] is not None:
+            h, bn_state = apply_batchnorm(layer["bn"], bn_state, h, training=training)
+        h = jax.nn.relu(h)
+        new_states.append(bn_state)
+    return h, {"layers": new_states}
+
+
+def init_pointnet2_paconv(key: jax.Array, *, c: int = 3, k: int = 64,
+                          out_mlp_dims=(512, 512, 512)) -> Tuple[dict, dict]:
+    """c = non-xyz feature channels (3 for rgb); k = output embedding dim."""
+    sa_specs = SA_MLPS(c)
+    fp_specs = FP_MLPS(c)
+    keys = jax.random.split(key, 9)
+    params: dict = {"sa": [], "fp": []}
+    state: dict = {"sa": [], "fp": []}
+    for i, spec in enumerate(sa_specs):
+        spec = list(spec)
+        spec[0] += 3  # use_xyz: grouped_xyz_diff concat (modules.py:99-100)
+        lkeys = jax.random.split(keys[i], len(spec) - 1)
+        lp, ls = [], []
+        for j in range(len(spec) - 1):
+            p, s = _init_paconv_layer(lkeys[j], spec[j], spec[j + 1])
+            lp.append(p)
+            ls.append(s)
+        params["sa"].append(lp)
+        state["sa"].append(ls)
+    for i, spec in enumerate(fp_specs):
+        p, s = _init_shared_mlp(keys[4 + i], spec)
+        params["fp"].append(p)
+        state["fp"].append(s)
+    params["out_mlp"] = init_mlp(keys[8], 128, list(out_mlp_dims), k)
+    return params, state
+
+
+def _sa_level(params, state, xyz, feats, *, training):
+    """One set-abstraction level: FPS to N/4 centres, kNN group, PAConv
+    chain with max aggregation (pointnet2_paconv_modules.py:20-61)."""
+    npoint = xyz.shape[1] // 4
+    idx = furthest_point_sampling(xyz, npoint)
+    new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)
+    knn_idx = knn_indices(new_xyz, xyz, NSAMPLE)
+    grouped_xyz = gather_neighbors(xyz, knn_idx)
+    grouped_xyz_diff = grouped_xyz - new_xyz[:, :, None, :]
+    grouped_feats = gather_neighbors(feats, knn_idx)
+    h = jnp.concatenate((grouped_xyz_diff, grouped_feats), axis=-1)
+    new_states = []
+    for lp, ls in zip(params, state):
+        h, ns = _apply_paconv_layer(lp, ls, h, grouped_xyz_diff, training=training)
+        new_states.append(ns)
+    return new_xyz, jnp.max(h, axis=2), new_states
+
+
+def apply_pointnet2_paconv(params, state, pointcloud, *, training: bool = False):
+    """pointcloud: (B, N, 3 + c) -> ((B, N, k), new_state)."""
+    xyz = pointcloud[..., :3]
+    feats = pointcloud[..., 3:]
+    l_xyz, l_feats = [xyz], [feats]
+    new_state = {"sa": [], "fp": [None] * 4}
+    for i in range(4):
+        nx, nf, ns = _sa_level(params["sa"][i], state["sa"][i],
+                               l_xyz[i], l_feats[i], training=training)
+        l_xyz.append(nx)
+        l_feats.append(nf)
+        new_state["sa"].append(ns)
+    for i in range(-1, -5, -1):
+        interp = three_nn_interpolate(l_xyz[i - 1], l_xyz[i], l_feats[i])
+        skip = l_feats[i - 1]
+        h = jnp.concatenate([interp, skip], axis=-1) if skip.shape[-1] else interp
+        h, ns = _apply_shared_mlp(params["fp"][i], state["fp"][i], h,
+                                  training=training)
+        l_feats[i - 1] = h
+        new_state["fp"][i] = ns
+    out = apply_mlp(params["out_mlp"], l_feats[0], gelu)
+    return out, new_state

@@ -1,0 +1,129 @@
+"""k-nearest-neighbour search as batched MXU work.
+
+Replaces three native paths of the reference with one jit-able primitive:
+  * the dense cdist+topk kNN engine (`knn.py:55-78`) and the KeOps engine
+    (`knn.py:6-53`),
+  * `pointops_cuda.knnquery_heap` (`lib/pointops/src/knnquery_heap/*`), whose
+    heap-ordered output guarantees neighbour 0 is the query itself when the
+    query set equals the point set — the PAConv kernels rely on that
+    ordering, which lax.top_k reproduces (exact-zero self distance sorts
+    first, ties break by index),
+  * `pointops_cuda.ballquery` (`lib/pointops/src/ballquery/*`): radius query
+    keeping the first `nsample` hits, padding with the first hit.
+
+The -2<x,y> + |x|^2 + |y|^2 expansion turns the distance matrix into one
+batched matmul — for the reference's workloads (<= a few thousand points)
+that is the speed-of-light TPU implementation; a Pallas tiled variant only
+pays off once the (N, M) matrix stops fitting in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distances. x: (..., N, D), y: (..., M, D) -> (..., N, M)."""
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    inner = jnp.einsum("...nd,...md->...nm", xf, yf,
+                       preferred_element_type=jnp.float32)
+    xx = jnp.sum(xf * xf, axis=-1)[..., :, None]
+    yy = jnp.sum(yf * yf, axis=-1)[..., None, :]
+    return xx - 2.0 * inner + yy
+
+
+def knn_indices(query: jnp.ndarray, points: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the k nearest `points` for each `query` point.
+
+    query: (..., M, D), points: (..., N, D) -> int32 (..., M, k), nearest
+    first (self-first when query is points — the knnquery_heap contract).
+    When k > N the tail is padded with index 0, matching the CUDA heap's
+    untouched slots (knnquery_heap_cuda_kernel.cu:68-72).
+    """
+    n = points.shape[-2]
+    neg_dist = -pairwise_sqdist(query, points)
+    _, idx = jax.lax.top_k(neg_dist, min(k, n))
+    if k > n:
+        pad = jnp.zeros(idx.shape[:-1] + (k - n,), idx.dtype)
+        idx = jnp.concatenate([idx, pad], axis=-1)
+    return idx
+
+
+def knn_self(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Self-kNN over the point axis (DGCNN's dynamic graph, pytorch_gcn.py:13-20)."""
+    return knn_indices(x, x, k)
+
+
+def gather_neighbors(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-neighbour features.
+
+    features: (B, N, C), idx: (B, M, K) -> (B, M, K, C). XLA gather replaces
+    `pointops_cuda.grouping` (+ its scatter-add backward, which autodiff
+    derives for free).
+    """
+    b, m, k = idx.shape
+    flat = idx.reshape(b, m * k)
+    out = jnp.take_along_axis(features, flat[..., None], axis=1)
+    return out.reshape(b, m, k, features.shape[-1])
+
+
+def ball_query(radius: float, nsample: int, points: jnp.ndarray,
+               query: jnp.ndarray) -> jnp.ndarray:
+    """First `nsample` points within `radius` of each query, padded with the
+    first hit (ballquery_cuda_kernel.cu:47 contract).
+
+    Implemented as: rank points by (out-of-ball, index) and take the first
+    nsample — identical membership to the scan order of the CUDA kernel.
+    """
+    d2 = pairwise_sqdist(query, points)
+    n = points.shape[-2]
+    in_ball = d2 < radius * radius
+    order = jnp.arange(n, dtype=jnp.float32)
+    # Sort key: in-ball points keep their index, out-of-ball pushed to +inf.
+    key = jnp.where(in_ball, order, jnp.inf)
+    _, idx = jax.lax.top_k(-key, nsample)
+    has_any = jnp.any(in_ball, axis=-1, keepdims=True)
+    first = idx[..., :1]
+    taken_in_ball = jnp.take_along_axis(in_ball, idx, axis=-1)
+    idx = jnp.where(taken_in_ball, idx, first)
+    idx = jnp.where(has_any, idx, 0)
+    return idx.astype(jnp.int32)
+
+
+def three_nn_interpolate(unknown_xyz: jnp.ndarray, known_xyz: jnp.ndarray,
+                         known_feats: jnp.ndarray,
+                         eps: float = 1e-8) -> jnp.ndarray:
+    """Inverse-distance-weighted 3-NN interpolation.
+
+    Replaces `pointops_cuda.nearestneighbor` + `interpolation`
+    (lib/pointops/src/interpolation/*): unknown (B, n, 3), known (B, m, 3),
+    known_feats (B, m, C) -> (B, n, C). Distances are euclidean (sqrt), as
+    in the CUDA kernel.
+    """
+    m = known_xyz.shape[-2]
+    d2 = pairwise_sqdist(unknown_xyz, known_xyz)
+    neg, idx = jax.lax.top_k(-d2, min(3, m))
+    if m < 3:
+        # CUDA kernel pads its best-3 slots with dist 1e40 / idx 0 when m < 3
+        pad_n = 3 - m
+        idx = jnp.concatenate(
+            [idx, jnp.zeros(idx.shape[:-1] + (pad_n,), idx.dtype)], axis=-1)
+        neg = jnp.concatenate(
+            [neg, jnp.full(neg.shape[:-1] + (pad_n,), -1e20, neg.dtype)], axis=-1)
+    dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+    recip = 1.0 / (dist + eps)
+    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+    gathered = gather_neighbors(known_feats, idx)
+    return jnp.einsum("bnk,bnkc->bnc", weight, gathered,
+                      preferred_element_type=jnp.float32).astype(known_feats.dtype)
+
+
+def nearest_neighbor_gather(query_xyz: jnp.ndarray, points_xyz: jnp.ndarray,
+                            feats: jnp.ndarray) -> jnp.ndarray:
+    """1-NN feature redistribution (pointops featuredistribute/featuregather)."""
+    idx = knn_indices(query_xyz, points_xyz, 1)[..., 0]
+    return jnp.take_along_axis(feats, idx[..., None], axis=1)
