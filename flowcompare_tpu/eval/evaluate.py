@@ -1,0 +1,97 @@
+"""Evaluation: test-set nats + per-point change scoring.
+
+Counterpart of the reference `test_flow.py:135-275`. The metric contract is
+exact: nats = running mean over test batches of inner_loop's third output
+(= -log_prob.mean() * log2(e) / input_dim), and the change map is derived
+from per-point log-probs by thresholding against the self-conditioned
+baseline p(t0|t0):
+    changed := log p(t1|t0) < mean - multiple * std   (std unbiased, per voxel)
+followed by a per-voxel min-max rescale with unchanged points zeroed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model import FlowCompareModel, inner_loop
+
+
+def clamp_infs(x: jnp.ndarray) -> jnp.ndarray:
+    """Replace -inf/+inf by the finite min (test_flow.py:241-247)."""
+    finite = jnp.isfinite(x)
+    min_finite = jnp.min(jnp.where(finite, x, jnp.inf))
+    return jnp.where(finite, x, min_finite)
+
+
+def log_prob_to_change(log_prob_1_given_0: jnp.ndarray,
+                       log_prob_0_given_0: jnp.ndarray,
+                       multiple: float = 5.4,
+                       hard_cutoff: Optional[float] = None) -> jnp.ndarray:
+    """Per-point change scores in [0, 1] (test_flow.py:249-275)."""
+    lp10 = clamp_infs(log_prob_1_given_0)
+    lp00 = clamp_infs(log_prob_0_given_0)
+    if hard_cutoff is None:
+        base_mean = jnp.mean(lp00, axis=-1, keepdims=True)
+        base_std = jnp.std(lp00, axis=-1, ddof=1, keepdims=True)
+        changed = lp10 < base_mean - multiple * base_std
+    else:
+        changed = lp10 < hard_cutoff
+    max_c = jnp.max(lp10, axis=-1, keepdims=True)
+    min_c = jnp.min(lp10, axis=-1, keepdims=True)
+    score = 1.0 - (lp10 - min_c) / (max_c - min_c)
+    return jnp.where(changed, score, 0.0)
+
+
+def evaluate_on_test(model: FlowCompareModel, params, state,
+                     dataset: Iterable, *, rng: Optional[jax.Array] = None,
+                     multiple: float = 5.4,
+                     compute_reverse: bool = False):
+    """Nats + per-voxel changed-fraction over an include_all dataset.
+
+    dataset yields the 11-tensor eval items (data/synthetic.py get_item_all
+    naming follows ams_voxel_loader.all_getter): returns
+    (nats_avg, change_mean_list).
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    c = model.config
+
+    @jax.jit
+    def eval_pair(params, state, batch, key):
+        loss, log_prob, nats, _ = inner_loop(
+            model, params, state, batch, rng=key, training=False)
+        return loss, log_prob, nats
+
+    nats_avg = 0.0
+    change_mean_list: list[float] = []
+    for batch_ind, item in enumerate(dataset):
+        (v0l, v1s, extra, v1l_self, v1s_self, v_opp_small, v_opp_large,
+         v0s_self, v0l_self, _v0s_orig, _v1s_orig) = [
+            jnp.asarray(t) if t is not None else None for t in item]
+        if not c["using_extra_context"]:
+            extra = None
+        k1, k2, k3, k4, rng = jax.random.split(rng, 5)
+        _, lp_1_0, nats = eval_pair(params, state, (v0l, v1s, extra), k1)
+        _, lp_0_0, _ = eval_pair(params, state, (v0l_self, v0s_self, extra), k2)
+        change_1_0 = log_prob_to_change(lp_1_0, lp_0_0, multiple=multiple)
+        change_mean_list.extend(
+            np.asarray(jnp.mean((change_1_0 > 0).astype(jnp.float32), axis=-1)).tolist())
+        if compute_reverse:
+            _, lp_0_1, _ = eval_pair(params, state, (v_opp_large, v_opp_small, extra), k3)
+            _, lp_1_1, _ = eval_pair(params, state, (v1l_self, v1s_self, extra), k4)
+            _ = log_prob_to_change(lp_0_1, lp_1_1, multiple=multiple)
+        nats_item = float(nats)
+        nats_avg = (nats_avg * batch_ind + nats_item) / (batch_ind + 1)
+    return nats_avg, change_mean_list
+
+
+def calc_change(model: FlowCompareModel, params, state, batch, *,
+                rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """log p(t1 | t0) per point (test_flow.py:233-237)."""
+    _, log_prob, _, _ = inner_loop(
+        model, params, state, batch,
+        rng=rng if rng is not None else jax.random.PRNGKey(0), training=False)
+    return jnp.squeeze(log_prob)

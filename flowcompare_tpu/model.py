@@ -344,27 +344,22 @@ class FlowCompareModel:
     def data_dependent_init(self, params, x, context=None, extra_context=None,
                             rng: Optional[jax.Array] = None):
         """Functional replacement for torch's first-batch ActNorm self-init
-        (models/act_norm.py:27-35): walk the layers once, computing each
-        ActNorm's shift/log_scale from the activations that reach it."""
+        (models/act_norm.py:27-35): one lax.scan walks the layers, computing
+        each ActNorm's shift/log_scale from the activations reaching it —
+        a single compiled program, not a per-layer dispatch loop."""
         if not self.use_act_norm:
             return params
         x, _ = self._augment_fwd(params["augmenter"], rng, x, context, extra_context)
-        layers = params["layers"]
 
-        @partial(jax.jit, static_argnames=())
-        def block_and_stats(lp, h):
+        def body(h, lp):
             h, _ = self._block_fwd(lp["block"], h, context, extra_context)
             new_an = actnorm.actnorm_data_init(h)
             h, _ = actnorm.actnorm_forward(new_an, h)
             h, _ = self._permuter_fwd(lp["permuter"], h)
             return h, new_an
 
-        for i in range(self.n_layers - 1):
-            lp = jax.tree_util.tree_map(lambda a: a[i], layers)
-            x, new_an = block_and_stats(lp, x)
-            layers = {**layers, "actnorm": jax.tree_util.tree_map(
-                lambda stack, new_leaf: stack.at[i].set(new_leaf),
-                layers["actnorm"], new_an)}
+        _, new_actnorms = jax.lax.scan(body, x, params["layers"])
+        layers = {**params["layers"], "actnorm": new_actnorms}
         return {**params, "layers": layers}
 
 

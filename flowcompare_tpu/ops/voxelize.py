@@ -1,0 +1,61 @@
+"""Grid voxelization: point -> voxel-index binning.
+
+Replaces BOTH native paths of the reference:
+  * the standalone C++ extension `voxelizer_cpp.voxelize`
+    (voxelizer_extension/voxelizer.cpp:8-67): floor((p - start)/size) then
+    ravel-multi-index, and
+  * the live python path `utils.voxelize:446-454`, which assigns each point
+    to its 1-NN among all grid centers — O(N*V) through the kNN engine.
+
+Grid binning is O(N) and exactly equivalent to the 1-NN-to-centers
+assignment for points inside the grid (the nearest center of a regular grid
+IS the containing cell). Pure jnp: fused under jit, differentiable-free
+integer math, and the same code runs on TPU or host.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def voxelize(points: jnp.ndarray, size, start=None, end=None,
+             return_centers: bool = False):
+    """points (N, d) -> int32 voxel index per point (+ optional centers).
+
+    start/end default to the point-cloud bounding box (voxelizer.cpp:20-27).
+    Index layout matches utils.get_all_voxel_centers's meshgrid ordering:
+    axis 0 fastest (index = sum_i n_i * prod_{j<i} steps_j).
+    """
+    pts = points[..., : len(size)] if points.shape[-1] > len(size) else points
+    size = jnp.asarray(size, jnp.float32)
+    lo = jnp.min(pts, axis=0) if start is None else jnp.asarray(start, jnp.float32)
+    hi = jnp.max(pts, axis=0) if end is None else jnp.asarray(end, jnp.float32)
+    steps = jnp.floor((hi - lo) / size).astype(jnp.int32) + 1
+    cell = jnp.clip(jnp.floor((pts - lo) / size).astype(jnp.int32), 0, steps - 1)
+    strides = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), jnp.cumprod(steps[:-1])])
+    idx = jnp.sum(cell * strides, axis=-1)
+    if not return_centers:
+        return idx
+    centers = lo + (cell.astype(jnp.float32) + 0.5) * size
+    return idx, centers
+
+
+def all_voxel_centers(start, end, size) -> jnp.ndarray:
+    """All grid-cell centers for a bounding box (utils.py:436-444)."""
+    start = jnp.asarray(start, jnp.float32)
+    end = jnp.asarray(end, jnp.float32)
+    size = jnp.asarray(size, jnp.float32)
+    steps = (jnp.floor((end - start) / size) + 1).astype(jnp.int32)
+    axes = [start[i] + (jnp.arange(int(steps[i])) + 0.5) * size[i]
+            for i in range(len(size))]
+    grids = jnp.meshgrid(*axes, indexing="ij")
+    return jnp.stack([g.reshape(-1) for g in grids], axis=-1)
+
+
+def voxel_occupancy(idx: jnp.ndarray, num_voxels: int) -> jnp.ndarray:
+    """Per-voxel point counts via segment-sum (replaces the histogramming
+    the reference does with torch.unique on the kNN labels)."""
+    return jnp.zeros((num_voxels,), jnp.int32).at[idx].add(1)

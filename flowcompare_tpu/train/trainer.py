@@ -1,0 +1,227 @@
+"""Training loop: one jitted SPMD train step + a host-side fit loop.
+
+Counterpart of the reference `train.py:18-176`, redesigned for XLA: the
+entire step (forward, backward, clip, Adam, plateau-scheduler) is ONE
+compiled program, donated and batch-sharded over the 'data' mesh axis.
+Gradients all-reduce over ICI automatically through XLA SPMD — the
+DataParallel path of the reference (model_initialization.py:186-188) with
+strictly more capability (multi-chip, multi-host via jax.distributed).
+
+Reference behaviours kept:
+  * ReduceLROnPlateau stepped per batch with the current loss (train.py:118)
+  * grad clip 1.0 (train.py:114)
+  * ActNorm data-dependent init from the first batch (act_norm.py:27-35)
+  * best-running-average checkpointing every batches_per_save, deleting the
+    previous best (train.py:134-145)
+  * periodic sample generation every batches_per_sample (train.py:150-170)
+    — dumped as .npz next to the checkpoint instead of wandb.Object3D.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+from typing import Any, Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model import FlowCompareModel, inner_loop, make_sample
+from . import checkpoint as ckpt
+from .metrics import JsonlWriter, MetricWriter
+from .optim import (
+    PlateauState,
+    apply_updates_with_lr,
+    make_optimizer,
+    plateau_init,
+    plateau_update,
+)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    plateau: PlateauState
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def init_train_state(model: FlowCompareModel, key: jax.Array) -> TrainState:
+    params, bn_state = model.init_params(key)
+    tx = make_optimizer(model.config)
+    return TrainState(
+        params=params,
+        bn_state=bn_state,
+        opt_state=tx.init(params),
+        plateau=plateau_init(model.config["lr"]),
+        step=jnp.asarray(0, jnp.int32),
+        rng=jax.random.fold_in(key, 0xF10),
+    )
+
+
+def make_train_step(model: FlowCompareModel, mesh=None):
+    """Build the jitted train step. With a mesh, the batch is expected
+    sharded over 'data' and params replicated/model-sharded (train.mesh)."""
+    c = model.config
+    tx = make_optimizer(c)
+
+    def step_fn(state: TrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+
+        def loss_fn(params, bn_state):
+            loss, _, nats, new_bn = inner_loop(
+                model, params, bn_state, batch, rng=sub, training=True)
+            return loss, (nats, new_bn)
+
+        (loss, (nats, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.bn_state)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = apply_updates_with_lr(state.params, updates, state.plateau.lr)
+        new_plateau = plateau_update(
+            state.plateau, loss, factor=c["lr_factor"], patience=c["patience"],
+            threshold=c["threshold_scheduler"], min_lr=c["min_lr"])
+        new_state = TrainState(
+            params=new_params, bn_state=new_bn, opt_state=new_opt,
+            plateau=new_plateau, step=state.step + 1, rng=rng)
+        metrics = {"loss": loss, "nats": nats, "lr": state.plateau.lr}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(model: FlowCompareModel):
+    def eval_fn(params, bn_state, batch, rng):
+        loss, log_prob, nats, _ = inner_loop(
+            model, params, bn_state, batch, rng=rng, training=False)
+        return loss, log_prob, nats
+
+    return jax.jit(eval_fn)
+
+
+def data_init_from_batch(model: FlowCompareModel, state: TrainState,
+                         batch) -> TrainState:
+    """Run the functional ActNorm data-dependent init off one batch
+    (embed + per-layer stat scan as ONE jitted program)."""
+
+    @jax.jit
+    def init_fn(params, bn_state, batch, rng):
+        extract_0, extract_1, extra = batch
+        extract_0 = extract_0[..., : model.input_dim]
+        extract_1 = extract_1[..., : model.input_dim]
+        if extra is not None:
+            extra = jnp.broadcast_to(
+                extra[:, None, :],
+                (extract_1.shape[0], extract_1.shape[1], extra.shape[-1]))
+        emb, _ = model.embed(params, bn_state, extract_0, training=False)
+        if model.is_global:
+            emb = jnp.broadcast_to(
+                emb[:, None, :], (emb.shape[0], extract_1.shape[1], emb.shape[-1]))
+        return model.data_dependent_init(params, extract_1, emb, extra, rng=rng)
+
+    new_params = init_fn(state.params, state.bn_state, batch, state.rng)
+    # optimizer state must track the (re)initialized params
+    tx = make_optimizer(model.config)
+    return state._replace(params=new_params, opt_state=tx.init(new_params))
+
+
+def train(model: FlowCompareModel, dataset: Iterable, *,
+          key: Optional[jax.Array] = None,
+          writer: Optional[MetricWriter] = None,
+          save_dir: Optional[str] = None,
+          run_name: str = "run",
+          mesh=None,
+          max_steps: Optional[int] = None,
+          resume_from: Optional[str] = None) -> TrainState:
+    """Fit loop over an iterable of (extract_0, extract_1, extra|None) batches.
+
+    `dataset` is any re-iterable of numpy/jax batches (see data/loader.py);
+    epochs follow config['n_epochs'] unless max_steps caps it.
+    """
+    c = model.config
+    key = key if key is not None else jax.random.PRNGKey(0)
+    writer = writer or JsonlWriter(os.path.join(save_dir or ".", "metrics.jsonl"))
+    save_dir = save_dir or c.get("save_model_path", "save")
+    os.makedirs(save_dir, exist_ok=True)
+
+    state = init_train_state(model, key)
+    if resume_from:
+        loaded = ckpt.load_checkpoint(resume_from)
+        params = ckpt.restore_into(state.params, loaded["params"])
+        bn_state = ckpt.restore_into(state.bn_state, loaded["state"])
+        plateau = ckpt.restore_into(state.plateau, loaded["plateau"])
+        # reference resume keeps flow/embedder + scheduler lr but NOT the
+        # optimizer moments (train.py:72 intentionally commented out)
+        state = state._replace(params=params, bn_state=bn_state,
+                               plateau=plateau)
+        print(f"Resumed from {resume_from}")
+    else:
+        first_batch = next(iter(dataset))
+        state = data_init_from_batch(model, state, _to_device(first_batch, mesh))
+
+    step_fn = make_train_step(model, mesh)
+
+    @partial(jax.jit, static_argnames=("n_points",))
+    def sample_fn(params, bn_state, extract_0, extra, key, n_points=4000):
+        return make_sample(model, params, bn_state, key, n_points,
+                           extract_0, extra)
+
+    best_so_far = math.inf
+    last_save_path = None
+    loss_running_avg = 0.0
+    global_step = 0
+    done = False
+    for epoch in range(c["n_epochs"]):
+        if done:
+            break
+        for batch_ind, batch in enumerate(dataset):
+            t0 = time.perf_counter()
+            state, metrics = step_fn(state, _to_device(batch, mesh))
+            loss_item = float(metrics["loss"])
+            if not math.isfinite(loss_item):
+                raise FloatingPointError(f"non-finite loss at step {global_step}")
+            dt = time.perf_counter() - t0
+            loss_running_avg = (loss_running_avg * batch_ind + loss_item) / (batch_ind + 1)
+            writer.log({**{k: float(v) for k, v in metrics.items()},
+                        "time_batch": dt, "epoch": epoch}, step=global_step)
+
+            if batch_ind > 0 and batch_ind % c["batches_per_save"] == 0:
+                if loss_running_avg < best_so_far:
+                    if last_save_path is not None:
+                        os.remove(last_save_path)
+                    path = os.path.join(
+                        save_dir, f"{run_name}_e{epoch}_b{batch_ind}_model_dict.msgpack")
+                    ckpt.save_checkpoint(
+                        path, config=c, params=state.params, state=state.bn_state,
+                        opt_state=state.opt_state, plateau=state.plateau,
+                        step=int(state.step))
+                    last_save_path = path
+                    best_so_far = min(loss_running_avg, best_so_far)
+                    loss_running_avg = 0.0
+
+            if c.get("make_samples") and (batch_ind + 1) % c["batches_per_sample"] == 0:
+                extract_0 = jnp.asarray(batch[0][:1])
+                extra = (jnp.asarray(batch[2][:1])
+                         if (batch[2] is not None and c["using_extra_context"])
+                         else None)
+                pts = sample_fn(state.params, state.bn_state, extract_0, extra,
+                                jax.random.fold_in(state.rng, batch_ind))
+                np.savez(os.path.join(save_dir, f"sample_{run_name}_{global_step}.npz"),
+                         cond=np.asarray(extract_0[0]), gen=np.asarray(pts[0]))
+
+            global_step += 1
+            if max_steps is not None and global_step >= max_steps:
+                done = True
+                break
+    return state
+
+
+def _to_device(batch, mesh):
+    batch = tuple(jnp.asarray(x) if x is not None else None for x in batch)
+    if mesh is not None:
+        from .mesh import shard_batch
+        batch = shard_batch(batch, mesh)
+    return batch
