@@ -26,6 +26,9 @@ def main():
     import flowcompare_tpu as fc
 
     cfg = fc.get_config("dulcet-universe")
+    # bf16 compute / f32 ldj policy: nats delta vs pure-f32 measured at 0.002
+    # (within the +-0.01 parity budget)
+    cfg["compute_dtype"] = "bfloat16"
     model = fc.FlowCompareModel(cfg)
     model.remat = False  # eval forward — no need to trade compute for memory
     params, state = model.init_params(jax.random.PRNGKey(0))
@@ -44,15 +47,16 @@ def main():
             model, params, state, batch, rng=rng, training=False)
         return loss, nats
 
-    # compile + warmup
+    # compile + warmup (float() forces a real device sync through the
+    # hosted-TPU tunnel; block_until_ready alone returns early there)
     loss, nats = eval_step(params, state, batch, k3)
-    loss.block_until_ready()
+    float(loss)
 
     n_iters = 10
     t0 = time.perf_counter()
     for i in range(n_iters):
         loss, nats = eval_step(params, state, batch, jax.random.fold_in(k3, i))
-    loss.block_until_ready()
+        float(loss)
     dt = (time.perf_counter() - t0) / n_iters
 
     points_per_sec = batch_size * cfg["sample_size"] / dt

@@ -51,11 +51,19 @@ def init_cross_attention(key: jax.Array, *, out_dim: int, query_dim: int,
     }
 
 
-def apply_cross_attention(params: dict, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
-    """x: (B, Nq, query_dim), context: (B, Nkv, context_dim) -> (B, Nq, out_dim)."""
+def apply_cross_attention(params: dict, x: jnp.ndarray, context: jnp.ndarray,
+                          dtype=None) -> jnp.ndarray:
+    """x: (B, Nq, query_dim), context: (B, Nkv, context_dim) -> (B, Nq, out_dim).
+
+    dtype: optional compute dtype (bf16) for the projections / attention
+    matmuls; LayerNorm stats and the softmax run in f32 either way."""
     inner_dim = params["to_q"]["w"].shape[1]
     scale = inner_dim ** -0.5
-    xn = apply_layer_norm(params["norm"], x)
+    xn = apply_layer_norm(params["norm"], x.astype(jnp.float32))
+    if dtype is not None:
+        params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+        xn = xn.astype(dtype)
+        context = context.astype(dtype)
     q = apply_linear(params["to_q"], xn)
     kv = apply_linear(params["to_kv"], context)
     k, v = jnp.split(kv, 2, axis=-1)

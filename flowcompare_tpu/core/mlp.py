@@ -32,7 +32,14 @@ def init_mlp(key: jax.Array, in_dim: int, hidden: Sequence[int], out_dim: int,
     return params
 
 
-def apply_mlp(params: dict, x: jnp.ndarray, nonlin: Callable) -> jnp.ndarray:
+def apply_mlp(params: dict, x: jnp.ndarray, nonlin: Callable,
+              dtype=None) -> jnp.ndarray:
+    """dtype: optional compute dtype (e.g. bf16) — params and input are cast
+    so every matmul runs at MXU rate; the caller upcasts where numerics
+    demand f32 (ldj, log-probs)."""
+    if dtype is not None:
+        params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+        x = x.astype(dtype)
     x = nonlin(apply_linear(params["in"], x))
     residual = x
     for index, layer in enumerate(params["hidden"]):

@@ -77,10 +77,16 @@ def init_dgcnn(key: jax.Array, *, input_dim: int = 6, emb_dim: int,
 
 def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
                 n_neighbors: int = 20, training: bool = False,
-                global_pool: bool = False):
-    """x: (B, N, input_dim) -> ((B, N, emb_dim) or (B, emb_dim), new_state)."""
+                global_pool: bool = False, dtype=None):
+    """x: (B, N, input_dim) -> ((B, N, emb_dim) or (B, emb_dim), new_state).
+
+    dtype: optional compute dtype (bf16) — conv matmuls and the kNN distance
+    matmul run at MXU rate; BatchNorm statistics stay f32."""
     new_state = {}
     feats = []
+    if dtype is not None:
+        params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+        x = x.astype(dtype)
     h = x
     for i in range(1, 5):
         e = edge_features(h, n_neighbors)
@@ -91,6 +97,8 @@ def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
     h = jnp.concatenate(feats, axis=-1)  # (B, N, 512)
     h, new_state["bn5"] = _conv_bn_leaky(params["conv5"], state["bn5"], h, training)
     if global_pool:
-        h = jnp.concatenate([jnp.max(h, axis=1), jnp.mean(h, axis=1)], axis=-1)
+        h = jnp.concatenate(
+            [jnp.max(h, axis=1), jnp.mean(h.astype(jnp.float32), axis=1).astype(h.dtype)],
+            axis=-1)
     out = apply_mlp(params["out_mlp"], h, gelu)
     return out, new_state

@@ -34,14 +34,14 @@ from .distributions import (
 def augment_conditional_forward(params: dict, key: jax.Array, x: jnp.ndarray,
                                 context, *, nonlin: Callable,
                                 use_context: bool = True,
-                                clamp: Optional[float] = None):
+                                clamp: Optional[float] = None, dtype=None):
     """Augment with a ConditionalNormal noise dist (ref augmenter.py:49-63)."""
     if context is not None and use_context:
-        net_ctx = jnp.concatenate((x, context), axis=-1)
+        net_ctx = jnp.concatenate((x.astype(context.dtype), context), axis=-1)
     else:
         net_ctx = x
     z2, logq = conditional_normal_sample_with_logprob(
-        params["net"], key, net_ctx, nonlin, clamp=clamp)
+        params["net"], key, net_ctx, nonlin, clamp=clamp, dtype=dtype)
     z = jnp.concatenate([x, z2.astype(x.dtype)], axis=-1)
     return z, -logq
 
@@ -79,15 +79,19 @@ def slice_inverse(params: dict, key: jax.Array, z: jnp.ndarray, context, *,
 # ---------------------------------------- attention-preconditioned augment
 
 def augment_attn_forward(params: dict, key: jax.Array, x: jnp.ndarray,
-                         context, extra_context, *, nonlin: Callable):
+                         context, extra_context, *, nonlin: Callable,
+                         dtype=None):
     """AugmentAttentionPreconditioner (ref augmenter.py:7-21).
 
     attn(pre_attn_mlp(x), context) -> [extra_context ++] attention_emb,
     then a conditional Augment whose net context is cat(x, attention_emb).
     """
-    mlp_out = apply_mlp(params["pre_attn_mlp"], x, nonlin)
-    attention_emb = apply_cross_attention(params["attn"], mlp_out, context)
+    mlp_out = apply_mlp(params["pre_attn_mlp"], x, nonlin, dtype=dtype)
+    attention_emb = apply_cross_attention(params["attn"], mlp_out, context,
+                                          dtype=dtype)
     if extra_context is not None:
-        attention_emb = jnp.concatenate((extra_context, attention_emb), axis=-1)
+        attention_emb = jnp.concatenate(
+            (extra_context.astype(attention_emb.dtype), attention_emb), axis=-1)
     return augment_conditional_forward(
-        params["augment"], key, x, attention_emb, nonlin=nonlin, use_context=True)
+        params["augment"], key, x, attention_emb, nonlin=nonlin,
+        use_context=True, dtype=dtype)

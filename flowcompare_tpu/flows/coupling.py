@@ -41,12 +41,14 @@ def _affine_scale(s: jnp.ndarray, scale_fn_type: str, eps: float) -> jnp.ndarray
 
 def affine_coupling_forward(params: dict, x: jnp.ndarray, context, *,
                             nonlin: Callable, scale_fn_type: str = "sigmoid",
-                            eps: float = 1e-8, split_dim: Optional[int] = None):
+                            eps: float = 1e-8, split_dim: Optional[int] = None,
+                            dtype=None):
     input_dim = x.shape[-1]
     split = input_dim // 2 if split_dim is None else split_dim
     x1, x2 = x[..., :split], x[..., split:]
-    nn_input = jnp.concatenate((x1, context), axis=-1) if context is not None else x1
-    st = apply_mlp(params["nn"], nn_input, nonlin)
+    nn_input = jnp.concatenate(
+        (x1.astype(context.dtype), context), axis=-1) if context is not None else x1
+    st = apply_mlp(params["nn"], nn_input, nonlin, dtype=dtype).astype(jnp.float32)
     s_raw, t = jnp.split(st, 2, axis=-1)
     s = _affine_scale(s_raw, scale_fn_type, eps)
     y2 = x2 * s + t
@@ -56,12 +58,14 @@ def affine_coupling_forward(params: dict, x: jnp.ndarray, context, *,
 
 def affine_coupling_inverse(params: dict, y: jnp.ndarray, context, *,
                             nonlin: Callable, scale_fn_type: str = "sigmoid",
-                            eps: float = 1e-8, split_dim: Optional[int] = None):
+                            eps: float = 1e-8, split_dim: Optional[int] = None,
+                            dtype=None):
     input_dim = y.shape[-1]
     split = input_dim // 2 if split_dim is None else split_dim
     y1, y2 = y[..., :split], y[..., split:]
-    nn_input = jnp.concatenate((y1, context), axis=-1) if context is not None else y1
-    st = apply_mlp(params["nn"], nn_input, nonlin)
+    nn_input = jnp.concatenate(
+        (y1.astype(context.dtype), context), axis=-1) if context is not None else y1
+    st = apply_mlp(params["nn"], nn_input, nonlin, dtype=dtype).astype(jnp.float32)
     s_raw, t = jnp.split(st, 2, axis=-1)
     s = _affine_scale(s_raw, scale_fn_type, eps)
     x2 = (y2 - t) / s

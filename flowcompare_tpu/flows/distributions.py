@@ -47,14 +47,14 @@ def normal_sample(key: jax.Array, shape, loc, scale, dtype=jnp.float32) -> jnp.n
 
 def conditional_normal_params(net_params: dict, context: jnp.ndarray,
                               nonlin: Callable, *,
-                              clamp: Optional[float] = None):
+                              clamp: Optional[float] = None, dtype=None):
     """Run the conditioning MLP and split into (mean, scale).
 
     Matches reference `ConditionalNormal.cond_dist` (models/distributions.py:127-137):
     net output chunked in two along the last axis; scale = exp(log_std),
-    optionally clamped from above.
+    optionally clamped from above. Mean/scale always return in f32.
     """
-    params_out = apply_mlp(net_params, context, nonlin)
+    params_out = apply_mlp(net_params, context, nonlin, dtype=dtype)
     mean, log_std = jnp.split(params_out, 2, axis=-1)
     scale = jnp.exp(log_std.astype(jnp.float32))
     if clamp:
@@ -64,23 +64,29 @@ def conditional_normal_params(net_params: dict, context: jnp.ndarray,
 
 def conditional_normal_logprob(net_params: dict, x: jnp.ndarray,
                                context: jnp.ndarray, nonlin: Callable, *,
-                               clamp: Optional[float] = None) -> jnp.ndarray:
-    mean, scale = conditional_normal_params(net_params, context, nonlin, clamp=clamp)
+                               clamp: Optional[float] = None,
+                               dtype=None) -> jnp.ndarray:
+    mean, scale = conditional_normal_params(net_params, context, nonlin,
+                                            clamp=clamp, dtype=dtype)
     return normal_logprob(x, mean, scale)
 
 
 def conditional_normal_sample_with_logprob(net_params: dict, key: jax.Array,
                                            context: jnp.ndarray, nonlin: Callable, *,
-                                           clamp: Optional[float] = None):
-    mean, scale = conditional_normal_params(net_params, context, nonlin, clamp=clamp)
+                                           clamp: Optional[float] = None,
+                                           dtype=None):
+    mean, scale = conditional_normal_params(net_params, context, nonlin,
+                                            clamp=clamp, dtype=dtype)
     z = normal_sample(key, mean.shape, mean, scale)
     return z, normal_logprob(z, mean, scale)
 
 
 def conditional_normal_sample(net_params: dict, key: jax.Array,
                               context: jnp.ndarray, nonlin: Callable, *,
-                              clamp: Optional[float] = None) -> jnp.ndarray:
-    mean, scale = conditional_normal_params(net_params, context, nonlin, clamp=clamp)
+                              clamp: Optional[float] = None,
+                              dtype=None) -> jnp.ndarray:
+    mean, scale = conditional_normal_params(net_params, context, nonlin,
+                                            clamp=clamp, dtype=dtype)
     return normal_sample(key, mean.shape, mean, scale)
 
 

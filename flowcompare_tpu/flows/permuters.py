@@ -55,7 +55,15 @@ def _lu_matrices(params: dict, eps: float):
     return lower, upper, upper_diag
 
 
-def linear_lu_forward(params: dict, x: jnp.ndarray, *, eps: float = 1e-3):
+def linear_lu_forward(params: dict, x: jnp.ndarray, *, eps: float = 1e-3,
+                      dtype=None):
+    if "w_folded" in params:
+        # pre-folded by linear_lu_prepare_stack (outside the layer scan):
+        # ONE matmul at MXU rate, no per-layer scatter materialisation.
+        w = params["w_folded"]
+        xin = x.astype(w.dtype)
+        z = jnp.dot(xin, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+        return z, jnp.broadcast_to(params["ldj"], x.shape[:-1])
     lower, upper, upper_diag = _lu_matrices(params, eps)
     t = x @ upper.T
     z = t @ lower.T
@@ -64,8 +72,58 @@ def linear_lu_forward(params: dict, x: jnp.ndarray, *, eps: float = 1e-3):
     return z, ldj
 
 
+def linear_lu_prepare_stack(stacked: dict, *, eps: float = 1e-3, dtype=None):
+    """Fold a STACK of LinearLU params (leading layer axis) into dense
+    weights + scalar ldjs in one batched op.
+
+    The packed-vector -> matrix scatter is expensive when repeated inside a
+    lax.scan body (one scatter per layer per step); doing it once for all
+    layers (and folding W = L @ U) turns the permuter into a single
+    (B*N, D) @ (D, D) matmul per layer. Returns
+    {"w_folded": (L, D, D), "ldj": (L,)}.
+    """
+    d = stacked["unconstrained_upper_diag"].shape[-1]
+    n_layers = stacked["unconstrained_upper_diag"].shape[0]
+    tril = np.tril_indices(d, k=-1)
+    triu = np.triu_indices(d, k=1)
+    eye = jnp.eye(d, dtype=stacked["lower_entries"].dtype)
+    lower = jnp.broadcast_to(eye, (n_layers, d, d))
+    lower = lower.at[:, tril[0], tril[1]].set(stacked["lower_entries"])
+    diag = jax.nn.softplus(stacked["unconstrained_upper_diag"]) + eps
+    upper = jnp.zeros((n_layers, d, d), stacked["upper_entries"].dtype)
+    upper = upper.at[:, triu[0], triu[1]].set(stacked["upper_entries"])
+    di = np.diag_indices(d)
+    upper = upper.at[:, di[0], di[1]].set(diag)
+    w = jnp.einsum("lij,ljk->lik", lower, upper,
+                   preferred_element_type=jnp.float32)
+    if dtype is not None:
+        w = w.astype(dtype)
+    ldj = jnp.sum(jnp.log(diag.astype(jnp.float32)), axis=-1)
+    return {"w_folded": w, "ldj": ldj}
+
+
+def linear_lu_prepare_inverse_stack(stacked: dict, *, eps: float = 1e-3):
+    """Stacked (L, D, D) lower/upper matrices for the inverse solves."""
+    d = stacked["unconstrained_upper_diag"].shape[-1]
+    n_layers = stacked["unconstrained_upper_diag"].shape[0]
+    tril = np.tril_indices(d, k=-1)
+    triu = np.triu_indices(d, k=1)
+    eye = jnp.eye(d, dtype=stacked["lower_entries"].dtype)
+    lower = jnp.broadcast_to(eye, (n_layers, d, d))
+    lower = lower.at[:, tril[0], tril[1]].set(stacked["lower_entries"])
+    diag = jax.nn.softplus(stacked["unconstrained_upper_diag"]) + eps
+    upper = jnp.zeros((n_layers, d, d), stacked["upper_entries"].dtype)
+    upper = upper.at[:, triu[0], triu[1]].set(stacked["upper_entries"])
+    di = np.diag_indices(d)
+    upper = upper.at[:, di[0], di[1]].set(diag)
+    return {"lower": lower, "upper": upper}
+
+
 def linear_lu_inverse(params: dict, z: jnp.ndarray, *, eps: float = 1e-3) -> jnp.ndarray:
-    lower, upper, _ = _lu_matrices(params, eps)
+    if "lower" in params:  # prepared by linear_lu_prepare_inverse_stack
+        lower, upper = params["lower"], params["upper"]
+    else:
+        lower, upper, _ = _lu_matrices(params, eps)
     orig_shape = z.shape
     zt = z.reshape(-1, orig_shape[-1]).T  # (D, B*N) — one shared solve
     t = jax.scipy.linalg.solve_triangular(lower, zt, lower=True, unit_diagonal=True)

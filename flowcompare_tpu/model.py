@@ -47,6 +47,13 @@ def _tree_stack(trees):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *trees)
 
 
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype)
+        if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating) else p,
+        tree)
+
+
 class FlowCompareModel:
     """Static model definition; parameters travel separately as a pytree."""
 
@@ -63,6 +70,12 @@ class FlowCompareModel:
         self.flow_type = config["flow_type"]
         self.permuter_type = config["permuter_type"]
         self.remat = True
+        # Mixed-precision policy: matmuls/activations in compute_dtype
+        # (bfloat16 on TPU for MXU rate), parameters and all ldj / log-prob
+        # accumulation in float32 — replaces the reference's (disabled) AMP
+        # GradScaler path (train.py:88-94); bf16 needs no loss scaling.
+        self.compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
+        self._dt = None if self.compute_dtype == jnp.float32 else self.compute_dtype
         if config["latent_dim"] < config["input_dim"]:
             raise ValueError("Latent dim < input dim")
         if config["cif_latent_dim"] != config["latent_dim"]:
@@ -209,7 +222,7 @@ class FlowCompareModel:
             out, new_emb_state = apply_dgcnn(
                 params["embedder"], state["embedder"], extract_0,
                 n_neighbors=c["n_neighbors"], training=training,
-                global_pool=self.is_global)
+                global_pool=self.is_global, dtype=self._dt)
         else:
             out, new_emb_state = apply_pointnet2_paconv(
                 params["embedder"], state["embedder"], extract_0,
@@ -222,7 +235,7 @@ class FlowCompareModel:
         if self.flow_type == "AffineCoupling":
             return coupling.affine_coupling_forward(
                 p, x, ctx, nonlin=self.nonlin,
-                scale_fn_type=self.config["affine_scale_fn"])
+                scale_fn_type=self.config["affine_scale_fn"], dtype=self._dt)
         if self.flow_type == "ExponentialCoupling":
             return coupling.exponential_coupling_forward(p, x, ctx, nonlin=self.nonlin)
         return spline.spline_coupling_forward(
@@ -232,7 +245,7 @@ class FlowCompareModel:
         if self.flow_type == "AffineCoupling":
             return coupling.affine_coupling_inverse(
                 p, y, ctx, nonlin=self.nonlin,
-                scale_fn_type=self.config["affine_scale_fn"])
+                scale_fn_type=self.config["affine_scale_fn"], dtype=self._dt)
         if self.flow_type == "ExponentialCoupling":
             return coupling.exponential_coupling_inverse(p, y, ctx, nonlin=self.nonlin)
         return spline.spline_coupling_inverse(
@@ -244,8 +257,10 @@ class FlowCompareModel:
             ctx = context
         else:
             x1 = x[..., : self.latent_dim // 2]
-            mlp_out = apply_mlp(p["pre_attention_mlp"], x1, self.nonlin)
-            ctx = apply_cross_attention(p["attn"], mlp_out, context)
+            mlp_out = apply_mlp(p["pre_attention_mlp"], x1, self.nonlin,
+                                dtype=self._dt)
+            ctx = apply_cross_attention(p["attn"], mlp_out, context,
+                                        dtype=self._dt)
         if extra_context is not None:
             ctx = jnp.concatenate((extra_context, ctx), axis=-1)
         return ctx
@@ -261,7 +276,8 @@ class FlowCompareModel:
     def _permuter_fwd(self, p, x):
         t = self.permuter_type
         if t == "LinearLU":
-            return permuters.linear_lu_forward(p, x, eps=self.config["linear_lu_eps"])
+            return permuters.linear_lu_forward(
+                p, x, eps=self.config["linear_lu_eps"], dtype=self._dt)
         if t == "random_permute":
             return permuters.permuter_forward(p, x)
         if t == "FullCombiner":
@@ -287,11 +303,27 @@ class FlowCompareModel:
                 rng, x, aug_dim=self.latent_dim - self.input_dim)
         if kind == "conditional_attn":
             return augment.augment_attn_forward(
-                p, rng, x, context, extra_context, nonlin=self.nonlin)
+                p, rng, x, context, extra_context, nonlin=self.nonlin,
+                dtype=self._dt)
         return augment.augment_conditional_forward(
-            p["augment"], rng, x, None, nonlin=self.nonlin, use_context=False)
+            p["augment"], rng, x, None, nonlin=self.nonlin, use_context=False,
+            dtype=self._dt)
 
     # ------------------------------------------------------------ log_prob
+
+    def _prepare_layers(self, layers, *, inverse: bool = False):
+        """Per-step precomputation hoisted out of the layer scan (currently:
+        LinearLU packed-vector -> dense-weight folding)."""
+        if self.permuter_type != "LinearLU":
+            return layers
+        if inverse:
+            prepared = permuters.linear_lu_prepare_inverse_stack(
+                layers["permuter"], eps=self.config["linear_lu_eps"])
+        else:
+            prepared = permuters.linear_lu_prepare_stack(
+                layers["permuter"], eps=self.config["linear_lu_eps"],
+                dtype=self._dt)
+        return {**layers, "permuter": prepared}
 
     def _layer_fwd(self, lp, x, context, extra_context):
         """One (coupling block, ActNorm?, permuter) step; returns (x, ldj)."""
@@ -307,6 +339,7 @@ class FlowCompareModel:
         """Per-point log p(x | context) of shape (B, N)."""
         x, ldj = self._augment_fwd(params["augmenter"], rng, x, context, extra_context)
         ldj = ldj.astype(jnp.float32)
+        layers = self._prepare_layers(params["layers"])
 
         def body(carry, lp):
             h, acc = carry
@@ -315,7 +348,7 @@ class FlowCompareModel:
 
         if self.remat:
             body = jax.checkpoint(body, prevent_cse=False)
-        (x, ldj), _ = jax.lax.scan(body, (x, ldj), params["layers"])
+        (x, ldj), _ = jax.lax.scan(body, (x, ldj), layers)
         x, l = self._block_fwd(params["final_block"], x, context, extra_context)
         return ldj + l + standard_normal_logprob(x)
 
@@ -328,6 +361,7 @@ class FlowCompareModel:
         z = normal_sample(key, (num_samples, n_points, self.latent_dim), 0.0,
                           sample_std)
         z = self._block_inv(params["final_block"], z, context, extra_context)
+        layers = self._prepare_layers(params["layers"], inverse=True)
 
         def body(h, lp):
             h = self._permuter_inv(lp["permuter"], h)
@@ -336,7 +370,7 @@ class FlowCompareModel:
             h = self._block_inv(lp["block"], h, context, extra_context)
             return h, None
 
-        z, _ = jax.lax.scan(body, z, params["layers"], reverse=True)
+        z, _ = jax.lax.scan(body, z, layers, reverse=True)
         return z[..., : self.input_dim]
 
     # ----------------------------------------------- ActNorm data-dep init
@@ -358,7 +392,8 @@ class FlowCompareModel:
             h, _ = self._permuter_fwd(lp["permuter"], h)
             return h, new_an
 
-        _, new_actnorms = jax.lax.scan(body, x, params["layers"])
+        _, new_actnorms = jax.lax.scan(
+            body, x, self._prepare_layers(params["layers"]))
         layers = {**params["layers"], "actnorm": new_actnorms}
         return {**params, "layers": layers}
 
