@@ -75,24 +75,54 @@ def init_dgcnn(key: jax.Array, *, input_dim: int = 6, emb_dim: int,
     return params, state
 
 
+def _fused_edge_stage(params, state, h, n_neighbors, *, bn_eps=1e-5):
+    """Eval-mode EdgeConv via the Pallas kernel (ops/edgeconv_pallas.py).
+
+    Decomposes conv([xj-xi, xi] @ W) into u_j + c_i, folds the BN slope sign
+    into u so a single masked-max suffices, then applies the (monotone)
+    BN affine + LeakyReLU to the reduced value. Mathematically identical to
+    the gather path (bf16 rounding of u/c aside)."""
+    from ..ops.edgeconv_pallas import edge_neighbor_max
+    w = params["conv"]["w"]                       # (2C, Cout)
+    c_in = h.shape[-1]
+    w_diff, w_self = w[:c_in], w[c_in:]
+    u = h @ w_diff
+    c = h @ (w_self - w_diff)
+    mean, var = state["mean"], state["var"]
+    inv = jax.lax.rsqrt(var + bn_eps)
+    slope = params["bn"]["scale"] * inv
+    sign = jnp.where(slope >= 0, 1.0, -1.0).astype(u.dtype)
+    mx = edge_neighbor_max(h, u * sign, n_neighbors)
+    z = (sign * mx).astype(jnp.float32) + c.astype(jnp.float32)
+    y = (z - mean) * inv * params["bn"]["scale"] + params["bn"]["bias"]
+    return _leaky(y).astype(h.dtype)
+
+
 def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
                 n_neighbors: int = 20, training: bool = False,
-                global_pool: bool = False, dtype=None):
+                global_pool: bool = False, dtype=None, fused: bool = False):
     """x: (B, N, input_dim) -> ((B, N, emb_dim) or (B, emb_dim), new_state).
 
     dtype: optional compute dtype (bf16) — conv matmuls and the kNN distance
-    matmul run at MXU rate; BatchNorm statistics stay f32."""
+    matmul run at MXU rate; BatchNorm statistics stay f32.
+    fused: eval-only Pallas edge-conv path (requires training=False)."""
     new_state = {}
     feats = []
     if dtype is not None:
         params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
         x = x.astype(dtype)
+    use_fused = fused and not training
     h = x
     for i in range(1, 5):
-        e = edge_features(h, n_neighbors)
-        e, new_state[f"bn{i}"] = _conv_bn_leaky(
-            params[f"conv{i}"], state[f"bn{i}"], e, training)
-        h = jnp.max(e, axis=2)
+        if use_fused:
+            h = _fused_edge_stage(params[f"conv{i}"], state[f"bn{i}"], h,
+                                  n_neighbors)
+            new_state[f"bn{i}"] = state[f"bn{i}"]
+        else:
+            e = edge_features(h, n_neighbors)
+            e, new_state[f"bn{i}"] = _conv_bn_leaky(
+                params[f"conv{i}"], state[f"bn{i}"], e, training)
+            h = jnp.max(e, axis=2)
         feats.append(h)
     h = jnp.concatenate(feats, axis=-1)  # (B, N, 512)
     h, new_state["bn5"] = _conv_bn_leaky(params["conv5"], state["bn5"], h, training)

@@ -222,7 +222,8 @@ class FlowCompareModel:
             out, new_emb_state = apply_dgcnn(
                 params["embedder"], state["embedder"], extract_0,
                 n_neighbors=c["n_neighbors"], training=training,
-                global_pool=self.is_global, dtype=self._dt)
+                global_pool=self.is_global, dtype=self._dt,
+                fused=self._dt is not None and c.get("fused_encoder", True))
         else:
             out, new_emb_state = apply_pointnet2_paconv(
                 params["embedder"], state["embedder"], extract_0,

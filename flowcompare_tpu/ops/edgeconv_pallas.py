@@ -1,0 +1,152 @@
+"""Fused DGCNN edge-convolution (eval path) as a Pallas TPU kernel.
+
+The reference EdgeConv (models/pytorch_gcn.py:23-107) materialises, per
+stage, a (B, N, K, 2C) neighbour tensor via kNN + gather, convolves it, and
+max-pools over K. On TPU the top_k sort and the gather dominate (~105 ms of
+a 250 ms step at B=20, N=1250, K=40) and the K-expanded tensors cost HBM
+round trips.
+
+This kernel removes all of it using an algebraic identity. With
+W = [W_diff; W_self] the conv output for edge (i, j) is
+
+    z_ij = [x_j - x_i, x_i] @ W = u_j + c_i,
+    u = x @ W_diff,  c = x @ (W_self - W_diff)          (precomputed, MXU)
+
+and because BatchNorm (eval: per-channel affine) followed by LeakyReLU is
+per-channel monotone, max_k act(bn(z_ij)) equals act(bn(max_j u_j + c_i))
+on channels with positive bn slope and act(bn(min_j u_j + c_i)) on negative
+ones. Folding the slope SIGN into u (u' = sign * u, min u = -max(-u)) makes
+a single masked MAX sufficient. So the neighbourhood reduction collapses to
+a per-row masked max of u' over the exact kNN set, computed entirely in
+VMEM:
+
+  grid (B, Npad/R): one (R, Npad) distance block via MXU; the exact
+  k-th-smallest threshold per row by binary search over the f32 bit pattern
+  (positive floats are order-isomorphic to int32) — R is large (512) so the
+  31 serial search steps amortise over many rows; index-ordered tie-breaking
+  via prefix count (matches lax.top_k / torch.topk); then a nested
+  row-subblock x N-chunk masked max on the VPU with the kNN mask staged in
+  VMEM scratch.
+
+Eval-only: the training path keeps the autodiff-able gather formulation
+(encoders/dgcnn.py); values agree with it to bf16 rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW_BLOCK = 512     # rows sharing one binary-search chain
+_ROW_SUB = 64        # rows per masked-max sub-block
+_N_CHUNK = 128       # neighbour columns per masked-max chunk
+_F32_INF_BITS = 0x7F800000
+
+
+def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, mask_ref, *, k: int,
+            n_chunks: int):
+    xb = xblk_ref[0]          # (R, Cq)
+    xf = xfull_ref[0]         # (Npad, Cq)
+    r = xb.shape[0]
+    cout = ufull_ref.shape[-1]
+
+    cross = jnp.dot(xb, xf.T, preferred_element_type=jnp.float32)
+    nb = jnp.sum(xb.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    nf = jnp.sum(xf.astype(jnp.float32) ** 2, axis=1)[None, :]
+    d = jnp.maximum(nb - 2.0 * cross + nf, 0.0)
+    d_int = pltpu.bitcast(d, jnp.int32)
+
+    # exact k-th smallest per row: binary search on the bit pattern
+    def bs_body(_, carry):
+        lo, hi = carry
+        mid = jax.lax.shift_right_logical(lo + hi, 1)
+        cnt = jnp.sum((d_int <= mid).astype(jnp.int32), axis=1, keepdims=True)
+        ge = cnt >= k
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo0 = jnp.zeros((r, 1), jnp.int32)
+    hi0 = jnp.full((r, 1), _F32_INF_BITS, jnp.int32)
+    _, thresh = jax.lax.fori_loop(0, 31, bs_body, (lo0, hi0))
+
+    strict = d_int < thresh
+    ties = d_int == thresh
+    cnt_strict = jnp.sum(strict.astype(jnp.int32), axis=1, keepdims=True)
+    # inclusive prefix sum via log-step doubling (cumsum has no Pallas TPU
+    # lowering); width is static so the loop unrolls at trace time
+    rank = ties.astype(jnp.int32)
+    width = rank.shape[1]
+    shift = 1
+    while shift < width:
+        shifted = jnp.concatenate(
+            [jnp.zeros((rank.shape[0], shift), jnp.int32), rank[:, :-shift]],
+            axis=1)
+        rank = rank + shifted
+        shift *= 2
+    mask = strict | (ties & (rank <= (k - cnt_strict)))
+    mask_ref[:, :] = mask.astype(jnp.int32)
+
+    neg_inf = jnp.asarray(-jnp.inf, jnp.bfloat16)
+
+    # nested masked max: row sub-blocks x N chunks, mask staged in VMEM
+    # scratch (refs support dynamic slices; computed values don't)
+    n_sub = r // _ROW_SUB
+
+    def sub_body(si, _):
+        def mm_body(ci, mx):
+            uc = ufull_ref[0, pl.ds(ci * _N_CHUNK, _N_CHUNK), :]  # (NC, Cout)
+            mc = mask_ref[pl.ds(si * _ROW_SUB, _ROW_SUB),
+                          pl.ds(ci * _N_CHUNK, _N_CHUNK)]
+            sel = jnp.where(mc[:, :, None] != 0, uc[None, :, :], neg_inf)
+            return jnp.maximum(mx, jnp.max(sel, axis=1))
+
+        mx0 = jnp.full((_ROW_SUB, cout), neg_inf)
+        mx = jax.lax.fori_loop(0, n_chunks, mm_body, mx0)
+        outmax_ref[0, pl.ds(si * _ROW_SUB, _ROW_SUB), :] = mx
+        return 0
+
+    jax.lax.fori_loop(0, n_sub, sub_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def edge_neighbor_max(x: jnp.ndarray, u: jnp.ndarray, k: int,
+                      interpret: bool = False):
+    """Per-row masked max of u over the exact kNN set of x.
+
+    x: (B, N, Cq) kNN features; u: (B, N, Cout) (sign-folded — see module
+    docstring). Returns max_u of shape (B, N, Cout) in bf16. N is padded
+    internally to a _ROW_BLOCK multiple.
+    """
+    b, n, cq = x.shape
+    cout = u.shape[-1]
+    npad = -(-n // _ROW_BLOCK) * _ROW_BLOCK
+    if npad != n:
+        # far-away pad points: never in any top-k (k < n)
+        x = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)), constant_values=1e4)
+        u = jnp.pad(u, ((0, 0), (0, npad - n), (0, 0)))
+    x = x.astype(jnp.bfloat16)
+    u = u.astype(jnp.bfloat16)
+
+    grid = (b, npad // _ROW_BLOCK)
+    mx = pl.pallas_call(
+        functools.partial(_kernel, k=k, n_chunks=npad // _N_CHUNK),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _ROW_BLOCK, cq), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, cq), lambda bi, ri: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, cout), lambda bi, ri: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _ROW_BLOCK, cout),
+                               lambda bi, ri: (bi, ri, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, npad, cout), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((_ROW_BLOCK, npad), jnp.int32)],
+        interpret=interpret,
+    )(x, x, u)
+    return mx[:, :n]
