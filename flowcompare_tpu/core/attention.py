@@ -52,7 +52,7 @@ def init_cross_attention(key: jax.Array, *, out_dim: int, query_dim: int,
 
 
 def apply_cross_attention(params: dict, x: jnp.ndarray, context: jnp.ndarray,
-                          dtype=None) -> jnp.ndarray:
+                          dtype=None, fused: bool = False) -> jnp.ndarray:
     """x: (B, Nq, query_dim), context: (B, Nkv, context_dim) -> (B, Nq, out_dim).
 
     dtype: optional compute dtype (bf16) for the projections / attention
@@ -67,7 +67,17 @@ def apply_cross_attention(params: dict, x: jnp.ndarray, context: jnp.ndarray,
     q = apply_linear(params["to_q"], xn)
     kv = apply_linear(params["to_kv"], context)
     k, v = jnp.split(kv, 2, axis=-1)
-    sim = jnp.einsum("bid,bjd->bij", q, k, preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bij,bjd->bid", attn, v, preferred_element_type=jnp.float32)
+    if fused and dtype is not None and jax.default_backend() == "tpu":
+        # fused QK^T-softmax-PV Pallas kernel (ops/attention_pallas.py).
+        # Measured neutral vs the XLA path on v5e at these shapes (XLA
+        # already fuses the softmax), so off by default; kept for larger
+        # context lengths where the score tensor stops fitting cache.
+        from ..ops.attention_pallas import fused_attention_core
+        out = fused_attention_core(q, k, v, scale)
+    else:
+        sim = jnp.einsum("bid,bjd->bij", q, k,
+                         preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bij,bjd->bid", attn, v,
+                         preferred_element_type=jnp.float32)
     return apply_linear(params["out"], out.astype(x.dtype))

@@ -1,14 +1,23 @@
+from .ams_voxel_loader import AmsVoxelLoader, Scan, batch_iterator, filter_scans
+from .challenge_loader import ChallengeDataset
+from .las_io import load_cloud, load_las
+from .prefetch import PrefetchedDataset
 from .synthetic import SyntheticVoxelDataset
 from .transforms import (
     co_unit_sphere,
+    extract_area,
+    fps_numpy,
     get_voxel,
+    np_co_unit_sphere,
     oversample_cloud,
     random_subsample,
     unit_sphere,
 )
 
 __all__ = [
+    "AmsVoxelLoader", "Scan", "batch_iterator", "filter_scans",
+    "ChallengeDataset", "load_cloud", "load_las", "PrefetchedDataset",
     "SyntheticVoxelDataset",
-    "co_unit_sphere", "get_voxel", "oversample_cloud",
-    "random_subsample", "unit_sphere",
+    "co_unit_sphere", "extract_area", "fps_numpy", "get_voxel",
+    "np_co_unit_sphere", "oversample_cloud", "random_subsample", "unit_sphere",
 ]

@@ -20,7 +20,7 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-from .transforms import co_unit_sphere, get_voxel, oversample_cloud
+from .transforms import fps_numpy as _fps_numpy, get_voxel, np_co_unit_sphere as _np_co_unit_sphere
 
 
 def _scene_cloud(rng: np.random.Generator, *, n_ground=4000, removed=False,
@@ -49,22 +49,6 @@ def _scene_cloud(rng: np.random.Generator, *, n_ground=4000, removed=False,
     return np.concatenate(parts)
 
 
-def _fps_numpy(points: np.ndarray, m: int) -> np.ndarray:
-    """Deterministic FPS (start index 0) — host-side counterpart of
-    ops/fps.py, used in the offline pipeline."""
-    n = points.shape[0]
-    if n <= m:
-        return oversample_cloud(points, m)
-    xyz = points[:, :3]
-    sel = np.zeros(m, np.int64)
-    d = np.full(n, np.inf)
-    far = 0
-    for i in range(m):
-        sel[i] = far
-        dd = np.sum((xyz - xyz[far]) ** 2, axis=1)
-        d = np.minimum(d, dd)
-        far = int(np.argmax(d))
-    return points[sel]
 
 
 class SyntheticVoxelDataset:
@@ -164,13 +148,3 @@ class SyntheticVoxelDataset:
             yield stacked
 
 
-def _np_co_unit_sphere(p0: np.ndarray, p1: np.ndarray):
-    l0 = p0.shape[0]
-    joint = np.concatenate((p0, p1)).astype(np.float32)
-    mean = joint[:, :3].mean(axis=0)
-    joint = joint.copy()
-    joint[:, :3] -= mean
-    furthest = np.max(np.linalg.norm(joint[:, :3], axis=-1))
-    joint[:, :3] /= furthest
-    inverse = {"furthest_distance": furthest, "mean": mean}
-    return joint[:l0], joint[l0:], inverse

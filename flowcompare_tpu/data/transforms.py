@@ -80,3 +80,48 @@ def rotate_xy(rad: float) -> np.ndarray:
 
 def min_max_norm(t):
     return (t - t.min()) / (t.max() - t.min())
+
+
+def fps_numpy(points: np.ndarray, m: int,
+              rng: np.random.Generator | None = None) -> np.ndarray:
+    """Deterministic farthest-point sampling (start index 0 —
+    random_start=False as in the reference loaders, ams_voxel_loader.py:298),
+    oversampling when the cloud is smaller than m. Host-side counterpart of
+    ops/fps.py for the offline data path."""
+    n = points.shape[0]
+    if n <= m:
+        return oversample_cloud(points, m, rng)
+    xyz = points[:, :3]
+    sel = np.zeros(m, np.int64)
+    d = np.full(n, np.inf)
+    far = 0
+    for i in range(m):
+        sel[i] = far
+        dd = np.sum((xyz - xyz[far]) ** 2, axis=1)
+        d = np.minimum(d, dd)
+        far = int(np.argmax(d))
+    return points[sel]
+
+
+def np_co_unit_sphere(p0: np.ndarray, p1: np.ndarray):
+    """Joint zero-mean unit-ball normalization, numpy (utils.py:271-282)."""
+    l0 = p0.shape[0]
+    joint = np.concatenate((p0, p1)).astype(np.float32).copy()
+    mean = joint[:, :3].mean(axis=0)
+    joint[:, :3] -= mean
+    furthest = np.max(np.linalg.norm(joint[:, :3], axis=-1))
+    joint[:, :3] /= furthest
+    inverse = {"furthest_distance": furthest, "mean": mean}
+    return joint[:l0], joint[l0:], inverse
+
+
+def extract_area(cloud: np.ndarray, center, clearance: float,
+                 shape: str = "square") -> np.ndarray:
+    """Boolean mask of points within a square/circle around (x, y)
+    (utils.py:117-133)."""
+    xy = cloud[:, :2] - np.asarray(center)[:2]
+    if shape == "square":
+        return np.all(np.abs(xy) < clearance, axis=-1)
+    if shape == "circle":
+        return np.linalg.norm(xy, axis=-1) < clearance
+    raise ValueError(f"invalid shape {shape}")
