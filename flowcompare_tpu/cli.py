@@ -1,0 +1,233 @@
+"""Command-line interface.
+
+The reference has no CLI — its entry points are `if __name__ == "__main__"`
+blocks with hard-coded paths (train.py:180-182, test_flow.py:280-297). This
+module provides the equivalents as proper subcommands:
+
+  flowcompare train     — train a model (synthetic or AMS data)
+  flowcompare evaluate  — test-set nats + change fractions
+  flowcompare sample    — generate a conditioned cloud from a checkpoint
+  flowcompare convert   — PyTorch .pt checkpoint -> native checkpoint
+  flowcompare bench     — the headline throughput benchmark
+  flowcompare view      — Dash change-map browser (requires dash)
+
+Configs are preset names (configs/presets.py) or YAML files in either plain
+`key: value` or the reference's wandb `{key: {desc, value}}` format
+(utils.py:373-377 counterpart).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load_config(spec: str) -> dict:
+    from .configs import PRESETS, derive, get_config
+    if spec in PRESETS:
+        return get_config(spec)
+    import yaml
+    with open(spec) as f:
+        raw = yaml.safe_load(f)
+    if raw and all(isinstance(v, dict) and "value" in v for v in raw.values()):
+        raw = {k: v["value"] for k, v in raw.items()}  # wandb-format yaml
+    from .configs.presets import from_checkpoint_config
+    return from_checkpoint_config(raw)
+
+
+def _dataset(args, config, mode: str, include_all: bool = False):
+    if args.data == "synthetic":
+        from .data import SyntheticVoxelDataset
+        return SyntheticVoxelDataset(
+            n_items=args.n_items, batch_size=config["batch_size"],
+            sample_size=config["sample_size"],
+            n_samples_context=config["n_samples_context"],
+            with_extra=config["using_extra_context"], mode=mode,
+            include_all=include_all)
+    from .data import AmsVoxelLoader, batch_iterator
+    loader = AmsVoxelLoader(
+        config["directory_path_train"], config["directory_path_test"],
+        out_path=args.processed_dir, preload=config.get("preload", True),
+        n_samples=config["sample_size"],
+        final_voxel_size=config["final_voxel_size"],
+        n_samples_context=config["n_samples_context"],
+        context_voxel_size=config["context_voxel_size"], mode=mode,
+        include_all=include_all,
+        self_pairs_train=config.get("self_pairs_train", False))
+
+    class _Batches:
+        def __iter__(self):
+            return batch_iterator(loader, config["batch_size"],
+                                  shuffle=(mode == "train"))
+
+        def __len__(self):
+            return len(loader) // config["batch_size"]
+
+    return _Batches() if not include_all else loader
+
+
+def _load_model(checkpoint: str):
+    import jax
+    from .model import FlowCompareModel
+    from .train import load_checkpoint, restore_into
+    loaded = load_checkpoint(checkpoint)
+    config = loaded["config"]
+    model = FlowCompareModel(config)
+    template_params, template_state = model.init_params(jax.random.PRNGKey(0))
+    params = restore_into(template_params, loaded["params"])
+    state = restore_into(template_state, loaded["state"]) if loaded["state"] \
+        else template_state
+    return model, params, state, config
+
+
+def cmd_train(args):
+    import jax
+    from .data import PrefetchedDataset
+    from .model import FlowCompareModel
+    from .train import JsonlWriter, StdoutWriter, MultiWriter, train
+    config = load_config(args.config)
+    if args.bf16:
+        config["compute_dtype"] = "bfloat16"
+    model = FlowCompareModel(config)
+    ds = PrefetchedDataset(_dataset(args, config, "train"))
+    writer = MultiWriter(JsonlWriter(f"{args.save_dir}/metrics.jsonl"),
+                         StdoutWriter())
+    mesh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from .train import make_mesh
+        mesh = make_mesh(n_data=jax.device_count(), n_model=1)
+    train(model, ds, key=jax.random.PRNGKey(args.seed), writer=writer,
+          save_dir=args.save_dir, run_name=args.run_name, mesh=mesh,
+          max_steps=args.steps,
+          resume_from=args.resume or None)
+
+
+def cmd_evaluate(args):
+    from .eval import evaluate_on_test
+    model, params, state, config = _load_model(args.checkpoint)
+
+    class _EvalBatches:
+        def __init__(self, ds, bs):
+            self.ds, self.bs = ds, bs
+
+        def __iter__(self):
+            import numpy as np
+            n = len(self.ds) - len(self.ds) % self.bs
+            for s in range(0, n, self.bs):
+                items = [self.ds.get_item_all(i) for i in range(s, s + self.bs)]
+                yield tuple(np.stack([it[j] for it in items])
+                            for j in range(len(items[0])))
+
+    ds = _dataset(args, config, "test", include_all=True)
+    batches = ds if args.data == "synthetic" else _EvalBatches(
+        ds, config["batch_size"])
+    nats, change_means = evaluate_on_test(
+        model, params, state, batches, multiple=args.multiple)
+    print(json.dumps({"nats": nats,
+                      "mean_changed_fraction": float(sum(change_means) /
+                                                     max(len(change_means), 1)),
+                      "n_voxels": len(change_means)}))
+
+
+def cmd_sample(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from .model import make_sample
+    from .viz import save_cloud
+    model, params, state, config = _load_model(args.checkpoint)
+    ds = _dataset(args, config, "test", include_all=True)
+    item = ds.get_item_all(args.index)
+    extract_0 = jnp.asarray(item[0])[None]
+    extra = (jnp.asarray(item[2])[None]
+             if config["using_extra_context"] else None)
+    pts = make_sample(model, params, state, jax.random.PRNGKey(args.seed),
+                      args.n_points, extract_0, extra,
+                      sample_std=args.gen_std)
+    out = save_cloud(args.out, np.asarray(pts[0])[:, :3],
+                     np.clip(np.asarray(pts[0])[:, 3:6], 0, 1))
+    print(f"wrote {out}")
+
+
+def cmd_convert(args):
+    from .compat import load_torch_checkpoint
+    from .train import save_checkpoint
+    config, params, state = load_torch_checkpoint(args.torch_checkpoint)
+    save_checkpoint(args.out, config=config, params=params, state=state)
+    print(f"converted {args.torch_checkpoint} -> {args.out}")
+
+
+def cmd_bench(args):
+    import runpy
+    import os
+    runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py"), run_name="__main__")
+
+
+def cmd_view(args):
+    from .viz import DatasetViewer, visualize_change
+    model, params, state, config = _load_model(args.checkpoint)
+    ds = _dataset(args, config, "test", include_all=True)
+    viewer = DatasetViewer(model, params, state, ds)
+    visualize_change(viewer, range(len(ds)), port=args.port)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="flowcompare")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_data_args(sp):
+        sp.add_argument("--data", choices=["synthetic", "ams"],
+                        default="synthetic")
+        sp.add_argument("--n-items", type=int, default=64)
+        sp.add_argument("--processed-dir", default="save/processed_dataset")
+
+    t = sub.add_parser("train", help="train a model")
+    t.add_argument("--config", default="dulcet-universe")
+    t.add_argument("--save-dir", default="save/conditional_flow_compare")
+    t.add_argument("--run-name", default="run")
+    t.add_argument("--steps", type=int, default=None)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--bf16", action="store_true")
+    t.add_argument("--resume", default=None)
+    t.add_argument("--data-parallel", action="store_true")
+    add_data_args(t)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate", help="test-set nats + change fractions")
+    e.add_argument("--checkpoint", required=True)
+    e.add_argument("--multiple", type=float, default=5.4)
+    add_data_args(e)
+    e.set_defaults(fn=cmd_evaluate)
+
+    s = sub.add_parser("sample", help="generate a conditioned cloud")
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--index", type=int, default=0)
+    s.add_argument("--n-points", type=int, default=4000)
+    s.add_argument("--gen-std", type=float, default=0.6)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--out", default="sample")
+    add_data_args(s)
+    s.set_defaults(fn=cmd_sample)
+
+    c = sub.add_parser("convert", help="torch .pt -> native checkpoint")
+    c.add_argument("--torch-checkpoint", required=True)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_convert)
+
+    b = sub.add_parser("bench", help="headline throughput benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    v = sub.add_parser("view", help="Dash change-map browser")
+    v.add_argument("--checkpoint", required=True)
+    v.add_argument("--port", type=int, default=8050)
+    add_data_args(v)
+    v.set_defaults(fn=cmd_view)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

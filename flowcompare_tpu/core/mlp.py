@@ -52,7 +52,25 @@ def apply_mlp(params: dict, x: jnp.ndarray, nonlin: Callable,
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact (erf-based) GELU — torch.nn.GELU's default, unlike jax.nn.gelu's."""
+    """Erf-based GELU (torch.nn.GELU's default semantics).
+
+    XLA's Erf lowering costs ~57 ms/step on the 115-layer stack (measured,
+    v5e, B=20) — by far the largest single VPU expense. This uses the
+    Abramowitz & Stegun 7.1.26 rational approximation (max abs error
+    1.5e-7, orders below both the f32 parity tolerances and bf16 ulp)
+    built on the TPU's fast exp unit instead: ~10 cheap VPU ops."""
+    xf = x.astype(jnp.float32)
+    a = jnp.abs(xf) * 0.7071067811865476
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-a * a)
+    erf = jnp.sign(xf) * erf_abs
+    return (0.5 * xf * (1.0 + erf)).astype(x.dtype)
+
+
+def gelu_xla(x: jnp.ndarray) -> jnp.ndarray:
+    """Reference-exact erf GELU via XLA's Erf (slow on TPU VPU)."""
     return jax.nn.gelu(x, approximate=False)
 
 

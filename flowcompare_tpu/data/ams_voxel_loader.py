@@ -72,12 +72,11 @@ def filter_scans(scans_list: List[Scan], dist: float) -> List[Scan]:
 
 def _grid_voxelize(xyz: np.ndarray, start: np.ndarray, end: np.ndarray,
                    size: np.ndarray):
-    """Point -> voxel id by O(N) grid binning; returns (ids, centers_fn)."""
+    """Point -> voxel id by O(N) grid binning (native C++ when built);
+    returns (ids, centers_fn)."""
+    from .. import native
     steps = np.floor((end - start) / size).astype(np.int64) + 1
-    cell = np.clip(np.floor((xyz - start) / size).astype(np.int64), 0,
-                   steps - 1)
-    strides = np.concatenate([[1], np.cumprod(steps[:-1])])
-    ids = (cell * strides).sum(axis=-1)
+    ids = native.voxelize_grid(xyz.astype(np.float32), start, size, steps)
 
     def center_of(voxel_id: int) -> np.ndarray:
         rem = int(voxel_id)

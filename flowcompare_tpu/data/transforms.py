@@ -91,15 +91,8 @@ def fps_numpy(points: np.ndarray, m: int,
     n = points.shape[0]
     if n <= m:
         return oversample_cloud(points, m, rng)
-    xyz = points[:, :3]
-    sel = np.zeros(m, np.int64)
-    d = np.full(n, np.inf)
-    far = 0
-    for i in range(m):
-        sel[i] = far
-        dd = np.sum((xyz - xyz[far]) ** 2, axis=1)
-        d = np.minimum(d, dd)
-        far = int(np.argmax(d))
+    from .. import native
+    sel = native.fps_indices(np.ascontiguousarray(points, np.float32), m)
     return points[sel]
 
 

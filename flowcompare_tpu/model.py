@@ -78,10 +78,15 @@ class FlowCompareModel:
         self._dt = None if self.compute_dtype == jnp.float32 else self.compute_dtype
         if config["latent_dim"] < config["input_dim"]:
             raise ValueError("Latent dim < input dim")
-        if config["cif_latent_dim"] != config["latent_dim"]:
-            raise NotImplementedError(
-                "CIF sandwich (cif_latent_dim > latent_dim) not built yet; "
-                "all five shipped configs use cif_latent_dim == latent_dim")
+        if config["cif_latent_dim"] < config["latent_dim"]:
+            raise ValueError("Augment dim smaller than main latent!")
+        # CIF sandwich blocks (cif_helper path, models/cif_block.py:30-46):
+        # taken when the per-block latent is widened beyond the main latent
+        self.is_cif = config["cif_latent_dim"] > config["latent_dim"]
+        if self.is_cif and config["using_extra_context"]:
+            raise ValueError("Not implemented extra context with cif")
+        if self.is_cif and config["global"]:
+            raise ValueError("CIF + global embedding not implemented")
 
         if config["latent_dim"] == config["input_dim"]:
             self.augmenter_kind = "identity"
@@ -127,14 +132,26 @@ class FlowCompareModel:
         c = self.config
         if self.is_global:
             return {"coupling": self._init_coupling(key)}
-        k_mlp, k_attn, k_cpl = jax.random.split(key, 3)
-        return {
+        k_mlp, k_attn, k_cpl, k_cif, k_acif = jax.random.split(key, 5)
+        block = {
             "pre_attention_mlp": init_mlp(
                 k_mlp, self.latent_dim // 2, c["pre_attention_mlp_hidden_dims"],
                 c["attn_input_dim"]),
             "attn": self._init_attn(k_attn),
             "coupling": self._init_coupling(k_cpl),
         }
+        if self.is_cif:
+            cif_lat = c["cif_latent_dim"]
+            # one ConditionalNormal net SHARED by the block's augment and
+            # slice (the reference reuses distrib_augment, cif_block.py:60-67)
+            block["cif_net"] = init_mlp(
+                k_cif, self.latent_dim, c["net_cif_dist_hidden_dims"],
+                (cif_lat - self.latent_dim) * 2)
+            block["affine_cif"] = coupling.init_affine_coupling(
+                k_acif, cif_lat, c["affine_cif_hidden"],
+                split_dim=cif_lat - self.latent_dim)
+            block["cif_actnorm"] = actnorm.init_actnorm(cif_lat)
+        return block
 
     def _init_permuter(self, key):
         d = self.latent_dim
@@ -266,13 +283,58 @@ class FlowCompareModel:
             ctx = jnp.concatenate((extra_context, ctx), axis=-1)
         return ctx
 
-    def _block_fwd(self, p, x, context, extra_context):
+    def _block_fwd(self, p, x, context, extra_context, rng=None):
+        if self.is_cif:
+            return self._cif_block_fwd(p, x, context, rng)[:2]
         ctx = self._block_context(p, x, context, extra_context)
         return self._coupling_fwd(p["coupling"], x, ctx)
 
-    def _block_inv(self, p, y, context, extra_context):
+    def _block_inv(self, p, y, context, extra_context, rng=None):
+        if self.is_cif:
+            return self._cif_block_inv(p, y, context, rng)
         ctx = self._block_context(p, y, context, extra_context)
         return self._coupling_inv(p["coupling"], y, ctx)
+
+    def _cif_block_fwd(self, p, x, context, rng, init_actnorm=False):
+        """CIFblock.forward (models/cif_block.py:69-97): augment -> reverse
+        -> affine -> actnorm -> reverse -> slice -> conditioned coupling."""
+        c = self.config
+        clamp = c["clamp_dist"]
+        x, ldj = augment.augment_conditional_forward(
+            {"net": p["cif_net"]}, rng, x, None, nonlin=self.nonlin,
+            clamp=clamp, dtype=self._dt)
+        x = x[..., ::-1]
+        x, l2 = coupling.affine_coupling_forward(
+            p["affine_cif"], x, None, nonlin=self.nonlin,
+            scale_fn_type="sigmoid",
+            split_dim=c["cif_latent_dim"] - self.latent_dim, dtype=self._dt)
+        an = actnorm.actnorm_data_init(x) if init_actnorm else p["cif_actnorm"]
+        x, l3 = actnorm.actnorm_forward(an, x)
+        x = x[..., ::-1]
+        x, l4 = augment.slice_forward(
+            {"net": p["cif_net"]}, x, None, num_keep=self.latent_dim,
+            nonlin=self.nonlin, clamp=clamp)
+        ctx = self._block_context(p, x, context, None)
+        x, l5 = self._coupling_fwd(p["coupling"], x, ctx)
+        total = ldj + l2 + l3 + l4 + l5
+        return (x, total, an) if init_actnorm else (x, total)
+
+    def _cif_block_inv(self, p, y, context, rng):
+        """CIFblock.inverse (models/cif_block.py:99-109)."""
+        c = self.config
+        clamp = c["clamp_dist"]
+        ctx = self._block_context(p, y, context, None)
+        y = self._coupling_inv(p["coupling"], y, ctx)
+        y = augment.slice_inverse({"net": p["cif_net"]}, rng, y, None,
+                                  nonlin=self.nonlin, clamp=clamp)
+        y = y[..., ::-1]
+        y = actnorm.actnorm_inverse(p["cif_actnorm"], y)
+        y = coupling.affine_coupling_inverse(
+            p["affine_cif"], y, None, nonlin=self.nonlin,
+            scale_fn_type="sigmoid",
+            split_dim=c["cif_latent_dim"] - self.latent_dim, dtype=self._dt)
+        y = y[..., ::-1]
+        return y[..., : self.latent_dim]
 
     def _permuter_fwd(self, p, x):
         t = self.permuter_type
@@ -326,31 +388,45 @@ class FlowCompareModel:
                 dtype=self._dt)
         return {**layers, "permuter": prepared}
 
-    def _layer_fwd(self, lp, x, context, extra_context):
+    def _layer_fwd(self, lp, x, context, extra_context, rng=None):
         """One (coupling block, ActNorm?, permuter) step; returns (x, ldj)."""
-        x, ldj = self._block_fwd(lp["block"], x, context, extra_context)
+        x, ldj = self._block_fwd(lp["block"], x, context, extra_context, rng)
         if self.use_act_norm:
             x, l2 = actnorm.actnorm_forward(lp["actnorm"], x)
             ldj = ldj + l2
         x, l3 = self._permuter_fwd(lp["permuter"], x)
         return x, ldj + l3
 
+    def _layer_keys(self, rng):
+        """Per-layer keys for CIF blocks (their augment/slice sample)."""
+        if not self.is_cif:
+            return None, None, rng
+        keys = jax.random.split(rng, self.n_layers + 2)
+        return keys[1:self.n_layers], keys[self.n_layers], keys[0]
+
     def log_prob(self, params, x, context=None, extra_context=None,
                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
         """Per-point log p(x | context) of shape (B, N)."""
+        layer_keys, final_key, rng = self._layer_keys(rng)
         x, ldj = self._augment_fwd(params["augmenter"], rng, x, context, extra_context)
         ldj = ldj.astype(jnp.float32)
         layers = self._prepare_layers(params["layers"])
+        xs = (layers, layer_keys) if self.is_cif else layers
 
         def body(carry, lp):
             h, acc = carry
-            h, l = self._layer_fwd(lp, h, context, extra_context)
+            if self.is_cif:
+                lp, key = lp
+            else:
+                key = None
+            h, l = self._layer_fwd(lp, h, context, extra_context, key)
             return (h, acc + l), None
 
         if self.remat:
             body = jax.checkpoint(body, prevent_cse=False)
-        (x, ldj), _ = jax.lax.scan(body, (x, ldj), layers)
-        x, l = self._block_fwd(params["final_block"], x, context, extra_context)
+        (x, ldj), _ = jax.lax.scan(body, (x, ldj), xs)
+        x, l = self._block_fwd(params["final_block"], x, context,
+                               extra_context, final_key)
         return ldj + l + standard_normal_logprob(x)
 
     # -------------------------------------------------------------- sample
@@ -359,19 +435,26 @@ class FlowCompareModel:
                context=None, extra_context=None,
                sample_std: float = 0.6) -> jnp.ndarray:
         """Inverse/generative pass (reference Flow.sample, transform.py:79-84)."""
+        layer_keys, final_key, key = self._layer_keys(key)
         z = normal_sample(key, (num_samples, n_points, self.latent_dim), 0.0,
                           sample_std)
-        z = self._block_inv(params["final_block"], z, context, extra_context)
+        z = self._block_inv(params["final_block"], z, context, extra_context,
+                            final_key)
         layers = self._prepare_layers(params["layers"], inverse=True)
+        xs = (layers, layer_keys) if self.is_cif else layers
 
         def body(h, lp):
+            if self.is_cif:
+                lp, k = lp
+            else:
+                k = None
             h = self._permuter_inv(lp["permuter"], h)
             if self.use_act_norm:
                 h = actnorm.actnorm_inverse(lp["actnorm"], h)
-            h = self._block_inv(lp["block"], h, context, extra_context)
+            h = self._block_inv(lp["block"], h, context, extra_context, k)
             return h, None
 
-        z, _ = jax.lax.scan(body, z, layers, reverse=True)
+        z, _ = jax.lax.scan(body, z, xs, reverse=True)
         return z[..., : self.input_dim]
 
     # ----------------------------------------------- ActNorm data-dep init
@@ -382,20 +465,34 @@ class FlowCompareModel:
         (models/act_norm.py:27-35): one lax.scan walks the layers, computing
         each ActNorm's shift/log_scale from the activations reaching it —
         a single compiled program, not a per-layer dispatch loop."""
-        if not self.use_act_norm:
+        if not self.use_act_norm and not self.is_cif:
             return params
+        layer_keys, _final_key, rng = self._layer_keys(rng)
         x, _ = self._augment_fwd(params["augmenter"], rng, x, context, extra_context)
+        prepared = self._prepare_layers(params["layers"])
+        xs = (prepared, layer_keys) if self.is_cif else prepared
 
         def body(h, lp):
-            h, _ = self._block_fwd(lp["block"], h, context, extra_context)
-            new_an = actnorm.actnorm_data_init(h)
-            h, _ = actnorm.actnorm_forward(new_an, h)
+            if self.is_cif:
+                lp, key = lp
+                h, _, new_cif_an = self._cif_block_fwd(
+                    lp["block"], h, context, key, init_actnorm=True)
+            else:
+                new_cif_an = None
+                h, _ = self._block_fwd(lp["block"], h, context, extra_context)
+            new_an = (actnorm.actnorm_data_init(h) if self.use_act_norm
+                      else None)
+            if self.use_act_norm:
+                h, _ = actnorm.actnorm_forward(new_an, h)
             h, _ = self._permuter_fwd(lp["permuter"], h)
-            return h, new_an
+            return h, (new_an, new_cif_an)
 
-        _, new_actnorms = jax.lax.scan(
-            body, x, self._prepare_layers(params["layers"]))
-        layers = {**params["layers"], "actnorm": new_actnorms}
+        _, (new_actnorms, new_cif_ans) = jax.lax.scan(body, x, xs)
+        layers = dict(params["layers"])
+        if self.use_act_norm:
+            layers["actnorm"] = new_actnorms
+        if self.is_cif:
+            layers["block"] = {**layers["block"], "cif_actnorm": new_cif_ans}
         return {**params, "layers": layers}
 
 
