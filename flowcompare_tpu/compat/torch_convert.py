@@ -155,6 +155,75 @@ def convert_dgcnn_state_dict(emb_sd: Dict[str, Any]) -> Tuple[dict, dict]:
     return params, state
 
 
+def convert_paconv_state_dict(emb_sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """PointNet2SSGSeg / PAConv encoder (scene_seg_PAConv):
+
+    SA_modules.{i}.mlps.0.layer{j}: ScoreNet convs+BNs, weightbank, block BN;
+    FP_modules.{i}.mlp.layer{j}: conv + nested bn.bn; out_mlp: residual MLP.
+    The last ScoreNet BN exists in the state dict but is never applied
+    (ScoreNet registers a BN per layer, applies all but the last —
+    paconv.py:25-41) and is deliberately skipped here.
+    """
+    def bn_of(prefix):
+        return ({"scale": np.asarray(emb_sd[f"{prefix}.weight"]),
+                 "bias": np.asarray(emb_sd[f"{prefix}.bias"])},
+                {"mean": np.asarray(emb_sd[f"{prefix}.running_mean"]),
+                 "var": np.asarray(emb_sd[f"{prefix}.running_var"])})
+
+    def conv_w(key):
+        w = np.asarray(emb_sd[key])
+        return _t(w.reshape(w.shape[0], w.shape[1]))
+
+    params: Dict[str, Any] = {"sa": [], "fp": []}
+    state: Dict[str, Any] = {"sa": [], "fp": []}
+    for i in range(4):
+        lp_list, ls_list = [], []
+        j = 0
+        while f"SA_modules.{i}.mlps.0.layer{j}.weightbank" in emb_sd:
+            base = f"SA_modules.{i}.mlps.0.layer{j}"
+            score_layers_p, score_layers_s = [], []
+            k = 0
+            while f"{base}.scorenet.mlp_convs_hidden.{k}.weight" in emb_sd:
+                lin = {"w": conv_w(f"{base}.scorenet.mlp_convs_hidden.{k}.weight")}
+                bkey = f"{base}.scorenet.mlp_convs_hidden.{k}.bias"
+                if bkey in emb_sd:
+                    lin["b"] = np.asarray(emb_sd[bkey])
+                is_last = (f"{base}.scorenet.mlp_convs_hidden.{k+1}.weight"
+                           not in emb_sd)
+                if is_last:
+                    bn_p, bn_s = None, None
+                else:
+                    bn_p, bn_s = bn_of(f"{base}.scorenet.mlp_bns_hidden.{k}")
+                score_layers_p.append({"lin": lin, "bn": bn_p})
+                score_layers_s.append(bn_s)
+                k += 1
+            blk_bn_p, blk_bn_s = bn_of(f"{base}.bn")
+            lp_list.append({
+                "scorenet": {"layers": score_layers_p},
+                "weightbank": np.asarray(emb_sd[f"{base}.weightbank"]),
+                "bn": blk_bn_p,
+            })
+            ls_list.append({"scorenet": {"layers": score_layers_s},
+                            "bn": blk_bn_s})
+            j += 1
+        params["sa"].append(lp_list)
+        state["sa"].append(ls_list)
+    for i in range(4):
+        layers_p, layers_s = [], []
+        j = 0
+        while f"FP_modules.{i}.mlp.layer{j}.conv.weight" in emb_sd:
+            base = f"FP_modules.{i}.mlp.layer{j}"
+            bn_p, bn_s = bn_of(f"{base}.bn.bn")
+            layers_p.append({"lin": {"w": conv_w(f"{base}.conv.weight")},
+                             "bn": bn_p})
+            layers_s.append(bn_s)
+            j += 1
+        params["fp"].append({"layers": layers_p})
+        state["fp"].append({"layers": layers_s})
+    params["out_mlp"] = _mlp(emb_sd, "out_mlp")
+    return params, state
+
+
 def convert_checkpoint(save_dict: Dict[str, Any], config: dict) -> Tuple[dict, dict]:
     """Full reference save_flow dict -> (params, bn_state).
 
@@ -168,11 +237,12 @@ def convert_checkpoint(save_dict: Dict[str, Any], config: dict) -> Tuple[dict, d
     state: dict = {}
     if kind in ("DGCNNembedder", "DGCNNembedderGlobal"):
         params["embedder"], state["embedder"] = convert_dgcnn_state_dict(emb_sd)
+    elif kind == "PAConv":
+        params["embedder"], state["embedder"] = convert_paconv_state_dict(emb_sd)
     elif kind == "idenity":
         params["embedder"], state["embedder"] = {}, {}
     else:
-        raise NotImplementedError(
-            f"converter for embedder {kind} not implemented yet (PAConv TBD)")
+        raise ValueError(f"unknown embedder kind {kind}")
     import jax.numpy as jnp
     import jax
     params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params)

@@ -180,6 +180,10 @@ class AmsVoxelLoader:
                 "clouds": [c.astype(np.float32) for c in clouds],
                 "ground_height": scan.ground_height,
             }
+            if save_id % 100 == 0 and save_id != 0:
+                # progress backup every 100 scenes (ams_voxel_loader.py:175-177)
+                with open(self.save_path, "wb") as f:
+                    pickle.dump(save_dict, f)
         with open(self.save_path, "wb") as f:
             pickle.dump(save_dict, f)
         return save_dict

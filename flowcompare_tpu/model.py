@@ -424,7 +424,8 @@ class FlowCompareModel:
 
         if self.remat:
             body = jax.checkpoint(body, prevent_cse=False)
-        (x, ldj), _ = jax.lax.scan(body, (x, ldj), xs)
+        (x, ldj), _ = jax.lax.scan(body, (x, ldj), xs,
+                                   unroll=self.config.get("scan_unroll", 1))
         x, l = self._block_fwd(params["final_block"], x, context,
                                extra_context, final_key)
         return ldj + l + standard_normal_logprob(x)

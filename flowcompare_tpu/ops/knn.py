@@ -100,9 +100,11 @@ def three_nn_interpolate(unknown_xyz: jnp.ndarray, known_xyz: jnp.ndarray,
     """Inverse-distance-weighted 3-NN interpolation.
 
     Replaces `pointops_cuda.nearestneighbor` + `interpolation`
-    (lib/pointops/src/interpolation/*): unknown (B, n, 3), known (B, m, 3),
-    known_feats (B, m, C) -> (B, n, C). Distances are euclidean (sqrt), as
-    in the CUDA kernel.
+    (lib/pointops/src/interpolation/*). NOTE the reference weights by
+    1/(d^2 + eps): the CUDA kernel returns SQUARED distances
+    (interpolation_cuda_kernel.cu:5-54 `dist2`) and the FP module reciprocates
+    them directly (pointnet2_paconv_modules.py:225-227) — matched exactly.
+    unknown (B, n, 3), known (B, m, 3), known_feats (B, m, C) -> (B, n, C).
     """
     m = known_xyz.shape[-2]
     d2 = pairwise_sqdist(unknown_xyz, known_xyz)
@@ -114,8 +116,7 @@ def three_nn_interpolate(unknown_xyz: jnp.ndarray, known_xyz: jnp.ndarray,
             [idx, jnp.zeros(idx.shape[:-1] + (pad_n,), idx.dtype)], axis=-1)
         neg = jnp.concatenate(
             [neg, jnp.full(neg.shape[:-1] + (pad_n,), -1e20, neg.dtype)], axis=-1)
-    dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
-    recip = 1.0 / (dist + eps)
+    recip = 1.0 / (jnp.maximum(-neg, 0.0) + eps)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
     gathered = gather_neighbors(known_feats, idx)
     return jnp.einsum("bnk,bnkc->bnc", weight, gathered,

@@ -135,13 +135,17 @@ def train(model: FlowCompareModel, dataset: Iterable, *,
           run_name: str = "run",
           mesh=None,
           max_steps: Optional[int] = None,
-          resume_from: Optional[str] = None) -> TrainState:
+          resume_from: Optional[str] = None,
+          detect_anomaly: bool = False) -> TrainState:
     """Fit loop over an iterable of (extract_0, extract_1, extra|None) batches.
 
     `dataset` is any re-iterable of numpy/jax batches (see data/loader.py);
     epochs follow config['n_epochs'] unless max_steps caps it.
     """
     c = model.config
+    if detect_anomaly:
+        # reference train.py:81-84 detect_anomaly toggle -> jax debug_nans
+        jax.config.update("jax_debug_nans", True)
     key = key if key is not None else jax.random.PRNGKey(0)
     writer = writer or JsonlWriter(os.path.join(save_dir or ".", "metrics.jsonl"))
     save_dir = save_dir or c.get("save_model_path", "save")

@@ -224,3 +224,34 @@ def test_global_embedder_parity(oracle):
     h, l = model._block_fwd(params["final_block"], h, ctx_j, None)
     our_lp = acc + l + standard_normal_logprob(h)
     np.testing.assert_allclose(np.asarray(our_lp), ref_lp, atol=5e-3, rtol=1e-4)
+
+
+def test_paconv_embedder_parity(tmp_path_factory):
+    """Full PAConv PointNet++ encoder vs the actual reference implementation
+    running on CPU through the pure-torch pointops oracle stub."""
+    from flowcompare_tpu.compat import convert_paconv_state_dict
+    from flowcompare_tpu.encoders.paconv import apply_pointnet2_paconv
+
+    root = tmp_path_factory.mktemp("refshim_paconv")
+    teardown_reference_oracle("")  # clear any cached models modules
+    mi = build_reference_oracle(root, with_paconv=True)
+    try:
+        import models as ref_models
+        torch.manual_seed(0)
+        net = ref_models.PointNet2SSGSeg(c=3, k=8, out_mlp_dims=[16, 16])
+        net.eval()
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(2, 256, 6)).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.from_numpy(x)).numpy()
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+        params, state = convert_paconv_state_dict(sd)
+        params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32),
+                                        params)
+        state = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32),
+                                       state)
+        ours, _ = apply_pointnet2_paconv(params, state, jnp.asarray(x),
+                                         training=False)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4, rtol=5e-3)
+    finally:
+        teardown_reference_oracle(str(root))
