@@ -49,9 +49,13 @@ def main():
         return loss, nats
 
     # compile + warmup (float() forces a real device sync through the
-    # hosted-TPU tunnel; block_until_ready alone returns early there)
-    loss, nats = eval_step(params, state, batch, k3)
-    float(loss)
+    # hosted-TPU tunnel; block_until_ready alone returns early there).
+    # Two warmup calls: the first pays compilation, the second pays the
+    # one-time executable-load hit observed on this backend (~1s).
+    for w in range(2):
+        loss, nats = eval_step(params, state, batch,
+                               jax.random.fold_in(k3, 1000 + w))
+        float(loss)
 
     n_iters = 10
     t0 = time.perf_counter()
