@@ -32,6 +32,7 @@ def main():
     cfg["scan_unroll"] = 4  # +3.5% from inter-layer overlap (measured)
     model = fc.FlowCompareModel(cfg)
     model.remat = False  # eval forward — no need to trade compute for memory
+    model.fused_layers = True  # Pallas flow-layer megakernel (eval-only)
     params, state = model.init_params(jax.random.PRNGKey(0))
 
     batch_size = cfg["batch_size"]  # 20, per reference config

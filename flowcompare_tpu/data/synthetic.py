@@ -85,20 +85,41 @@ class SyntheticVoxelDataset:
     def _voxel_pair(self, idx: int):
         rng = np.random.default_rng(self.seed * 100003 + idx)
         changed = rng.uniform() < self.change_fraction
-        cloud_0 = _scene_cloud(rng)
-        cloud_1 = _scene_cloud(rng, removed=changed,
+        cloud_0 = _scene_cloud(rng, removed=True)   # base scene, no object
+        cloud_1 = _scene_cloud(rng, removed=True,
                                color_shift=rng.normal(0, 0.02))
+        obj_xy = np.array([rng.uniform(-2, 2), rng.uniform(-1, 0.5)],
+                          np.float32)
+        if changed:
+            # an object APPEARS at t1 inside the voxel that will be sampled —
+            # the per-point likelihood under p(t1 | t0) flags the new points
+            o = np.empty((800, 6), np.float32)
+            center3 = np.array([obj_xy[0], obj_xy[1], 0.8])
+            o[:, :3] = center3 + rng.normal(0, 0.35, (800, 3))
+            o[:, 2] = np.abs(o[:, 2])
+            o[:, 3:6] = np.clip(rng.normal(0.3, 0.08, (800, 3)), 0, 1)
+            cloud_1 = np.concatenate([cloud_1, o])
         # small registration residual between epochs
         cloud_1[:, :3] += rng.normal(0, 0.01, 3).astype(np.float32)
         ground_height = 0.0
-        for _ in range(20):  # find an occupied voxel center
-            center = np.array([rng.uniform(-3, 3), rng.uniform(-1, 1),
-                               ground_height + 1.0], np.float32)
-            v1 = get_voxel(cloud_1, center, self.final_voxel_size)
-            v0c = get_voxel(cloud_0, center, self.context_voxel_size)
-            if len(v1) > 64 and len(v0c) > 64:
-                break
+        center = np.array([obj_xy[0], obj_xy[1], ground_height + 1.0],
+                          np.float32)
+        v1 = get_voxel(cloud_1, center, self.final_voxel_size)
+        v0c = get_voxel(cloud_0, center, self.context_voxel_size)
+        if len(v1) <= 64 or len(v0c) <= 64:  # fall back to any occupied spot
+            for _ in range(20):
+                center = np.array([rng.uniform(-3, 3), rng.uniform(-1, 1),
+                                   ground_height + 1.0], np.float32)
+                v1 = get_voxel(cloud_1, center, self.final_voxel_size)
+                v0c = get_voxel(cloud_0, center, self.context_voxel_size)
+                if len(v1) > 64 and len(v0c) > 64:
+                    break
         return cloud_0, cloud_1, center, ground_height, rng
+
+    def is_changed(self, idx: int) -> bool:
+        """Ground-truth change label for eval (the generator's coin flip)."""
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        return bool(rng.uniform() < self.change_fraction)
 
     def get_item(self, idx: int):
         cloud_0, cloud_1, center, ground_height, rng = self._voxel_pair(idx)

@@ -70,6 +70,9 @@ class FlowCompareModel:
         self.flow_type = config["flow_type"]
         self.permuter_type = config["permuter_type"]
         self.remat = True
+        # eval-only fused layer megakernel (ops/flow_layer_pallas.py);
+        # enabled explicitly by eval/bench paths via this flag
+        self.fused_layers = False
         # Mixed-precision policy: matmuls/activations in compute_dtype
         # (bfloat16 on TPU for MXU rate), parameters and all ldj / log-prob
         # accumulation in float32 — replaces the reference's (disabled) AMP
@@ -397,6 +400,17 @@ class FlowCompareModel:
         x, l3 = self._permuter_fwd(lp["permuter"], x)
         return x, ldj + l3
 
+    def _can_fuse_layers(self) -> bool:
+        c = self.config
+        # TPU-compiled only: the kernel relies on sequential grid execution
+        # for its layer-carry aliasing, which interpret mode does not honor
+        return (self.fused_layers and jax.default_backend() == "tpu"
+                and not self.is_cif and not self.is_global
+                and self.flow_type == "AffineCoupling"
+                and c["affine_scale_fn"] == "sigmoid"
+                and self.permuter_type == "LinearLU" and self.use_act_norm
+                and self._dt == jnp.bfloat16)
+
     def _layer_keys(self, rng):
         """Per-layer keys for CIF blocks (their augment/slice sample)."""
         if not self.is_cif:
@@ -411,6 +425,15 @@ class FlowCompareModel:
         x, ldj = self._augment_fwd(params["augmenter"], rng, x, context, extra_context)
         ldj = ldj.astype(jnp.float32)
         layers = self._prepare_layers(params["layers"])
+
+        if self._can_fuse_layers():
+            from .ops.flow_layer_pallas import build_layer_stacks, fused_flow_layers
+            stacks = build_layer_stacks(self, layers)
+            x, ldj = fused_flow_layers(x, ldj, context, extra_context, stacks)
+            x, l = self._block_fwd(params["final_block"], x, context,
+                                   extra_context, final_key)
+            return ldj + l + standard_normal_logprob(x)
+
         xs = (layers, layer_keys) if self.is_cif else layers
 
         def body(carry, lp):

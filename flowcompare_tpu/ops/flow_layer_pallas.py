@@ -1,0 +1,263 @@
+"""Fused flow-layer megakernel (eval forward) — the whole per-layer
+computation in VMEM.
+
+The XLA scan path writes every intermediate of a flow layer (pre-attention
+MLP activations, LayerNorm, q/k/v, softmax probabilities, the coupling MLP's
+hidden states, the affine epilogue, ActNorm, LinearLU) to HBM between fusion
+boundaries: ~0.3 GB of traffic per layer at B=20, ~35 GB per step across the
+114 scanned layers. This kernel runs ONE (layer, batch-item, query-block)
+grid step entirely on-chip:
+
+    x1 -> preMLP(gelu) -> LN -> q ; ctx -> kv ; softmax(q k^T) v -> out-proj
+    [extra ++ attn] ++ x1 -> coupling MLP -> sigmoid-scale affine -> ActNorm
+    -> folded LinearLU, with ldj accumulated in f32.
+
+Grid iteration on TPU is sequential with layers as the SLOWEST axis, so the
+x / ldj carries live in aliased input/output refs (each block is written in
+layer l strictly before any layer-(l+1) step reads it), and the per-layer
+weight stacks stream through VMEM via BlockSpec index maps (auto
+double-buffered DMA).
+
+Matches the scan path to bf16 rounding; eval-only (no VJP — training uses
+the autodiff scan path). Applies to the attention-conditioner configs with
+LinearLU + ActNorm (all five shipped presets); anything else falls back to
+the scan.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_Q_BLOCK = 512
+
+
+def _gelu(x):
+    """Fast erf GELU (core/mlp.gelu), f32 in/out."""
+    a = jnp.abs(x) * 0.7071067811865476
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return 0.5 * x * (1.0 + jnp.sign(x) * (1.0 - poly * jnp.exp(-a * a)))
+
+
+def _mlp(h, weights, biases):
+    """Residual MLP (core/mlp.apply_mlp pattern), bf16 matmuls, f32 nonlin."""
+    def lin(h, i):
+        y = jnp.dot(h, weights[i][0], preferred_element_type=jnp.float32)
+        return y + biases[i][0][0].astype(jnp.float32)
+
+    h = _gelu(lin(h, 0)).astype(jnp.bfloat16)
+    residual = h
+    for idx in range(1, len(weights) - 1):
+        if (idx - 1) % 2 == 0:
+            residual = h
+            h = _gelu(lin(h, idx)).astype(jnp.bfloat16)
+        else:
+            h = _gelu(residual.astype(jnp.float32) + lin(h, idx)).astype(
+                jnp.bfloat16)
+    return lin(h, len(weights) - 1)  # f32 out
+
+
+def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, split: int,
+            scale: float, eps_affine: float):
+    it = iter(refs)
+    x_ref = next(it)          # (1, QB, LAT) f32   [aliased out]
+    ldj_ref = next(it)        # (1, QB, 1)   f32   [aliased out]
+    ctx_ref = next(it)        # (1, Nc, E)   bf16
+    extra_ref = next(it) if has_extra else None
+    pre_w = [(next(it), next(it)) for _ in range(n_pre)]
+    ln_s, ln_b = next(it), next(it)
+    wq = next(it)
+    wkv = next(it)
+    wout, bout = next(it), next(it)
+    cpl_w = [(next(it), next(it)) for _ in range(n_cpl)]
+    an_shift, an_logscale = next(it), next(it)
+    lu_w = next(it)           # (1, LAT, LAT) bf16 (pre-folded L@U)
+    lu_ldj = next(it)         # (1, 1, 1) f32
+    x_out = next(it)
+    ldj_out = next(it)
+
+    x = x_ref[0]                                   # (QB, LAT) f32
+    x1 = x[:, :split]
+    x2 = x[:, split:]
+    x1b = x1.astype(jnp.bfloat16)
+
+    # pre-attention MLP + LayerNorm (f32 stats) + q projection
+    q_in = _mlp(x1b, [(w[0],) for w, _ in pre_w], [(b[0],) for _, b in pre_w])
+    mean = jnp.mean(q_in, axis=-1, keepdims=True)
+    var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
+    qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
+    qn = qn * ln_s[0].astype(jnp.float32) + ln_b[0].astype(jnp.float32)
+    q = jnp.dot(qn.astype(jnp.bfloat16), wq[0],
+                preferred_element_type=jnp.float32)   # (QB, D)
+
+    # attention over the full context block
+    ctx = ctx_ref[0]                               # (Nc, E)
+    kv = jnp.dot(ctx, wkv[0], preferred_element_type=jnp.float32)
+    d = q.shape[-1]
+    k = kv[:, :d]
+    v = kv[:, d:]
+    s = jnp.dot(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16).T,
+                preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    a = jnp.dot(p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    a_out = (jnp.dot(a.astype(jnp.bfloat16), wout[0],
+                     preferred_element_type=jnp.float32)
+             + bout[0].astype(jnp.float32))        # (QB, attn_dim)
+
+    # coupling MLP input: [x1, extra?, attn]
+    parts = [x1b]
+    if has_extra:
+        parts.append(extra_ref[0])
+    parts.append(a_out.astype(jnp.bfloat16))
+    h = jnp.concatenate(parts, axis=-1)
+    st = _mlp(h, [(w[0],) for w, _ in cpl_w], [(b[0],) for _, b in cpl_w])
+
+    # sigmoid-scale affine (reference affine_coupling sigmoid variant)
+    x2_size = st.shape[-1] // 2
+    s_raw = st[:, :x2_size]
+    t = st[:, x2_size:]
+    sc = (2.0 * jax.nn.sigmoid(s_raw) - 1.0) * (1.0 - eps_affine) + 1.0
+    y2 = x2 * sc + t
+    ldj_add = jnp.sum(jnp.log(sc), axis=-1)
+
+    y = jnp.concatenate([x1, y2], axis=-1)
+
+    # ActNorm (f32 params)
+    y = (y - an_shift[0]) * jnp.exp(-an_logscale[0])
+    ldj_add = ldj_add + jnp.sum(-an_logscale[0])
+
+    # folded LinearLU
+    z = jnp.dot(y.astype(jnp.bfloat16), lu_w[0].T,
+                preferred_element_type=jnp.float32)
+    ldj_add = ldj_add + lu_ldj[0, 0, 0]
+
+    x_out[0] = z
+    ldj_out[0] = ldj_ref[0] + ldj_add[:, None]
+
+
+def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
+                      extra: Optional[jnp.ndarray], stacks: dict, *,
+                      eps_affine: float = 1e-8,
+                      interpret: bool = False):
+    """Run all stacked layers over (x, ldj).
+
+    stacks: {"pre": [(w,b)...] each (L,i,o)/(L,o), "ln_scale","ln_bias",
+    "wq","wkv","wout","bout", "cpl": [(w,b)...], "an_shift","an_logscale"
+    each (L,1,LAT), "lu_w" (L,LAT,LAT), "lu_ldj" (L,)}. Returns (x, ldj).
+    """
+    b, n, lat = x.shape
+    n_layers = stacks["lu_ldj"].shape[0]
+    nc, e_dim = context.shape[1], context.shape[2]
+    split = lat // 2
+    d = stacks["wq"].shape[-1]
+    scale = d ** -0.5
+    has_extra = extra is not None
+
+    qb = _Q_BLOCK if n % _Q_BLOCK == 0 else math.gcd(n, _Q_BLOCK)
+    grid = (n_layers, b, n // qb)
+
+    bf = jnp.bfloat16
+    inputs = [x.astype(jnp.float32), ldj.astype(jnp.float32)[..., None],
+              context.astype(bf)]
+    in_specs = [
+        pl.BlockSpec((1, qb, lat), lambda l, bi, nb: (bi, nb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, qb, 1), lambda l, bi, nb: (bi, nb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nc, e_dim), lambda l, bi, nb: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_extra:
+        inputs.append(extra.astype(bf))
+        in_specs.append(pl.BlockSpec((1, qb, extra.shape[-1]),
+                                     lambda l, bi, nb: (bi, nb, 0),
+                                     memory_space=pltpu.VMEM))
+
+    def add_stacked(arr, cast=bf):
+        arr = arr.astype(cast)
+        if arr.ndim == 2:  # (L, O) bias stacks -> (L, 1, O) for TPU tiling
+            arr = arr[:, None, :]
+        blk = (1,) + arr.shape[1:]
+        inputs.append(arr)
+        in_specs.append(pl.BlockSpec(
+            blk, lambda l, bi, nb: (l,) + (0,) * (arr.ndim - 1),
+            memory_space=pltpu.VMEM))
+
+    for w, bb in stacks["pre"]:
+        add_stacked(w)
+        add_stacked(bb)
+    add_stacked(stacks["ln_scale"])
+    add_stacked(stacks["ln_bias"])
+    add_stacked(stacks["wq"])
+    add_stacked(stacks["wkv"])
+    add_stacked(stacks["wout"])
+    add_stacked(stacks["bout"])
+    for w, bb in stacks["cpl"]:
+        add_stacked(w)
+        add_stacked(bb)
+    add_stacked(stacks["an_shift"], jnp.float32)
+    add_stacked(stacks["an_logscale"], jnp.float32)
+    add_stacked(stacks["lu_w"])
+    add_stacked(stacks["lu_ldj"].reshape(n_layers, 1, 1), jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, n_pre=len(stacks["pre"]), n_cpl=len(stacks["cpl"]),
+        has_extra=has_extra, split=split, scale=scale, eps_affine=eps_affine)
+
+    out_x, out_ldj = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, qb, lat), lambda l, bi, nb: (bi, nb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb, 1), lambda l, bi, nb: (bi, nb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, n, lat), jnp.float32),
+                   jax.ShapeDtypeStruct((b, n, 1), jnp.float32)],
+        input_output_aliases={0: 0, 1: 1},
+        interpret=interpret,
+    )(*inputs)
+    return out_x, out_ldj[..., 0]
+
+
+def build_layer_stacks(model, layers_prepared: dict) -> dict:
+    """Assemble the kernel's weight stacks from prepared scan params
+    (model._prepare_layers output, LinearLU already folded)."""
+    blk = layers_prepared["block"]
+
+    def mlp_stack(p):
+        ws = [(p["in"]["w"], p["in"]["b"])]
+        for hid in p["hidden"]:
+            ws.append((hid["w"], hid["b"]))
+        ws.append((p["out"]["w"], p["out"]["b"]))
+        return ws
+
+    attn = blk["attn"]
+    an = layers_prepared["actnorm"]
+    return {
+        "pre": mlp_stack(blk["pre_attention_mlp"]),
+        "ln_scale": attn["norm"]["scale"][:, None, :],
+        "ln_bias": attn["norm"]["bias"][:, None, :],
+        "wq": attn["to_q"]["w"],
+        "wkv": attn["to_kv"]["w"],
+        "wout": attn["out"]["w"],
+        "bout": attn["out"]["b"][:, None, :],
+        "cpl": mlp_stack(blk["coupling"]["nn"]),
+        "an_shift": an["shift"],
+        "an_logscale": an["log_scale"],
+        "lu_w": layers_prepared["permuter"]["w_folded"],
+        "lu_ldj": layers_prepared["permuter"]["ldj"],
+    }
