@@ -255,3 +255,43 @@ def test_paconv_embedder_parity(tmp_path_factory):
         np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4, rtol=5e-3)
     finally:
         teardown_reference_oracle(str(root))
+
+
+def test_load_torch_checkpoint_end_to_end(oracle, tmp_path):
+    """Full save_flow-format .pt file -> load_torch_checkpoint -> inner_loop.
+
+    Mirrors how the released checkpoints are packaged
+    (model_initialization.py:25-28: {config, optimizer, flow,
+    input_embedder, scheduler})."""
+    torch.manual_seed(3)
+    cfg = small_config()
+    models_dict = oracle.initialize_flow(cfg, device="cpu", mode="test")
+    pt_path = str(tmp_path / "ref_ckpt.pt")
+    torch.save({
+        "config": dict(cfg),
+        "optimizer": {},
+        "flow": models_dict["flow"].state_dict(),
+        "input_embedder": models_dict["input_embedder"].state_dict(),
+        "scheduler": {},
+    }, pt_path)
+
+    from flowcompare_tpu.compat import load_torch_checkpoint
+    from flowcompare_tpu.model import FlowCompareModel, inner_loop
+    config, params, state = load_torch_checkpoint(pt_path)
+    assert config["latent_dim"] == cfg["latent_dim"]
+    model = FlowCompareModel(config)
+    rng = np.random.default_rng(9)
+    batch = (jnp.asarray(rng.normal(size=(2, cfg["n_samples_context"], 6)),
+                         jnp.float32),
+             jnp.asarray(rng.normal(size=(2, cfg["sample_size"], 6)),
+                         jnp.float32),
+             jnp.asarray(rng.normal(size=(2, 1)), jnp.float32))
+    loss, lp, nats, _ = inner_loop(model, params, state, batch,
+                                   rng=jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # embedder parity through the whole file round-trip
+    with torch.no_grad():
+        ref_emb = models_dict["input_embedder"](
+            torch.from_numpy(np.asarray(batch[0]))).numpy()
+    ours, _ = model.embed(params, state, batch[0], training=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_emb, atol=2e-4, rtol=1e-3)
