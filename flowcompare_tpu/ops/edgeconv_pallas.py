@@ -41,8 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROW_BLOCK = 512     # rows sharing one binary-search chain
-_ROW_SUB = 64        # rows per masked-max sub-block
+_ROW_BLOCK = 256     # rows sharing one binary-search chain
+_ROW_SUB = 32       # rows per extraction sub-block (VMEM: H is R_SUB*k*Npad bf16)
 _N_CHUNK = 128       # neighbour columns per masked-max chunk
 _F32_INF_BITS = 0x7F800000
 
@@ -87,25 +87,39 @@ def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, mask_ref, *, k: int,
         rank = rank + shifted
         shift *= 2
     mask = strict | (ties & (rank <= (k - cnt_strict)))
-    mask_ref[:, :] = mask.astype(jnp.int32)
+    mask_i = mask.astype(jnp.int32)
 
-    neg_inf = jnp.asarray(-jnp.inf, jnp.bfloat16)
+    # selection rank: prefix count of selected entries (1..k on selected
+    # positions — the tie logic guarantees exactly k per row), same log-step
+    # doubling as above
+    sel_rank = mask_i
+    shift = 1
+    while shift < width:
+        shifted = jnp.concatenate(
+            [jnp.zeros((sel_rank.shape[0], shift), jnp.int32),
+             sel_rank[:, :-shift]], axis=1)
+        sel_rank = sel_rank + shifted
+        shift *= 2
+    mask_ref[:, :] = jnp.where(mask, sel_rank, 0)
 
-    # nested masked max: row sub-blocks x N chunks, mask staged in VMEM
-    # scratch (refs support dynamic slices; computed values don't)
+    # one-hot MXU extraction: H[i, t, j] = (sel_rank_ij == t+1) picks the
+    # t-th selected neighbour; (R_SUB*k, Npad) @ (Npad, Cout) gathers all k
+    # neighbours' u rows at MXU rate, then a tiny max over k — replaces a
+    # full (R, Npad, Cout) masked-max VPU sweep
     n_sub = r // _ROW_SUB
+    u_all = ufull_ref[0]                                     # (Npad, Cout)
+    width_pad = u_all.shape[0]
+    t_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (_ROW_SUB, k, width_pad), 1) + 1
 
     def sub_body(si, _):
-        def mm_body(ci, mx):
-            uc = ufull_ref[0, pl.ds(ci * _N_CHUNK, _N_CHUNK), :]  # (NC, Cout)
-            mc = mask_ref[pl.ds(si * _ROW_SUB, _ROW_SUB),
-                          pl.ds(ci * _N_CHUNK, _N_CHUNK)]
-            sel = jnp.where(mc[:, :, None] != 0, uc[None, :, :], neg_inf)
-            return jnp.maximum(mx, jnp.max(sel, axis=1))
-
-        mx0 = jnp.full((_ROW_SUB, cout), neg_inf)
-        mx = jax.lax.fori_loop(0, n_chunks, mm_body, mx0)
-        outmax_ref[0, pl.ds(si * _ROW_SUB, _ROW_SUB), :] = mx
+        rk = mask_ref[pl.ds(si * _ROW_SUB, _ROW_SUB), :]     # (R_SUB, Npad)
+        h = (rk[:, None, :] == t_iota).astype(jnp.bfloat16)
+        sel = jnp.dot(h.reshape(_ROW_SUB * k, width_pad), u_all,
+                      preferred_element_type=jnp.float32)
+        sel = sel.reshape(_ROW_SUB, k, cout)
+        outmax_ref[0, pl.ds(si * _ROW_SUB, _ROW_SUB), :] = (
+            jnp.max(sel, axis=1).astype(jnp.bfloat16))
         return 0
 
     jax.lax.fori_loop(0, n_sub, sub_body, 0)
