@@ -282,6 +282,11 @@ class FlowCompareModel:
                                 dtype=self._dt)
             ctx = apply_cross_attention(p["attn"], mlp_out, context,
                                         dtype=self._dt)
+            # named so the remat policy can keep it: saving just the attention
+            # embedding (~31 MB/layer bf16) lets the backward skip
+            # recomputing the pre-MLP + attention chain
+            from jax.ad_checkpoint import checkpoint_name
+            ctx = checkpoint_name(ctx, "attn_emb")
         if extra_context is not None:
             ctx = jnp.concatenate((extra_context, ctx), axis=-1)
         return ctx
@@ -446,7 +451,10 @@ class FlowCompareModel:
             return (h, acc + l), None
 
         if self.remat:
-            body = jax.checkpoint(body, prevent_cse=False)
+            body = jax.checkpoint(
+                body, prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_emb"))
         (x, ldj), _ = jax.lax.scan(body, (x, ldj), xs,
                                    unroll=self.config.get("scan_unroll", 1))
         x, l = self._block_fwd(params["final_block"], x, context,
