@@ -24,7 +24,7 @@ import sys
 
 
 def load_config(spec: str) -> dict:
-    from .configs import PRESETS, derive, get_config
+    from .configs import PRESETS, get_config
     if spec in PRESETS:
         return get_config(spec)
     import yaml

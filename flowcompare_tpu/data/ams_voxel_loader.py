@@ -28,7 +28,7 @@ import os
 import pickle
 from datetime import datetime
 from itertools import combinations
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 import numpy as np
 

@@ -23,7 +23,7 @@ Algorithms:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 from scipy.spatial import cKDTree

@@ -8,8 +8,6 @@ path: unit_sphere / co_unit_sphere (utils.py:259-282), get_voxel
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,6 @@ Architecture graph per config (matches reference model_initialization.py:30-202)
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Optional
 
 import jax

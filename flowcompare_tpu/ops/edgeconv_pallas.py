@@ -22,11 +22,11 @@ VMEM:
 
   grid (B, Npad/R): one (R, Npad) distance block via MXU; the exact
   k-th-smallest threshold per row by binary search over the f32 bit pattern
-  (positive floats are order-isomorphic to int32) — R is large (512) so the
-  31 serial search steps amortise over many rows; index-ordered tie-breaking
-  via prefix count (matches lax.top_k / torch.topk); then a nested
-  row-subblock x N-chunk masked max on the VPU with the kNN mask staged in
-  VMEM scratch.
+  (positive floats are order-isomorphic to int32), index-ordered
+  tie-breaking via prefix count (matches lax.top_k / torch.topk); then the
+  per-row selection rank builds a (R_SUB*k, Npad) one-hot whose single MXU
+  matmul against u gathers all k neighbours at once — a tiny max over k
+  finishes the reduction (no (R, Npad, Cout) VPU sweep).
 
 Eval-only: the training path keeps the autodiff-able gather formulation
 (encoders/dgcnn.py); values agree with it to bf16 rounding.
@@ -43,12 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROW_BLOCK = 256     # rows sharing one binary-search chain
 _ROW_SUB = 32       # rows per extraction sub-block (VMEM: H is R_SUB*k*Npad bf16)
-_N_CHUNK = 128       # neighbour columns per masked-max chunk
 _F32_INF_BITS = 0x7F800000
 
 
-def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, mask_ref, *, k: int,
-            n_chunks: int):
+def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, rank_ref, *, k: int):
     xb = xblk_ref[0]          # (R, Cq)
     xf = xfull_ref[0]         # (Npad, Cq)
     r = xb.shape[0]
@@ -100,7 +98,7 @@ def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, mask_ref, *, k: int,
              sel_rank[:, :-shift]], axis=1)
         sel_rank = sel_rank + shifted
         shift *= 2
-    mask_ref[:, :] = jnp.where(mask, sel_rank, 0)
+    rank_ref[:, :] = jnp.where(mask, sel_rank, 0)
 
     # one-hot MXU extraction: H[i, t, j] = (sel_rank_ij == t+1) picks the
     # t-th selected neighbour; (R_SUB*k, Npad) @ (Npad, Cout) gathers all k
@@ -113,7 +111,7 @@ def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, mask_ref, *, k: int,
         jnp.int32, (_ROW_SUB, k, width_pad), 1) + 1
 
     def sub_body(si, _):
-        rk = mask_ref[pl.ds(si * _ROW_SUB, _ROW_SUB), :]     # (R_SUB, Npad)
+        rk = rank_ref[pl.ds(si * _ROW_SUB, _ROW_SUB), :]     # (R_SUB, Npad)
         h = (rk[:, None, :] == t_iota).astype(jnp.bfloat16)
         sel = jnp.dot(h.reshape(_ROW_SUB * k, width_pad), u_all,
                       preferred_element_type=jnp.float32)
@@ -146,7 +144,7 @@ def edge_neighbor_max(x: jnp.ndarray, u: jnp.ndarray, k: int,
 
     grid = (b, npad // _ROW_BLOCK)
     mx = pl.pallas_call(
-        functools.partial(_kernel, k=k, n_chunks=npad // _N_CHUNK),
+        functools.partial(_kernel, k=k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _ROW_BLOCK, cq), lambda bi, ri: (bi, ri, 0),
@@ -161,6 +159,8 @@ def edge_neighbor_max(x: jnp.ndarray, u: jnp.ndarray, k: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, npad, cout), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((_ROW_BLOCK, npad), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, x, u)
     return mx[:, :n]

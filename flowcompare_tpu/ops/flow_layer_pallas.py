@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_Q_BLOCK = 512
+_Q_BLOCK = 1024
 
 
 def _gelu(x):
@@ -228,6 +228,10 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
         out_shape=[jax.ShapeDtypeStruct((b, n, lat), jnp.float32),
                    jax.ShapeDtypeStruct((b, n, 1), jnp.float32)],
         input_output_aliases={0: 0, 1: 1},
+        # v5e has far more physical VMEM than the compiler's conservative
+        # 16MB scoped default; the raised cap admits full-N query blocks
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
     return out_x, out_ldj[..., 0]

@@ -19,8 +19,6 @@ pays off once the (N, M) matrix stops fitting in VMEM.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -15,8 +15,6 @@ integer math, and the same code runs on TPU or host.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax.numpy as jnp
 
 

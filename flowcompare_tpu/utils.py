@@ -10,7 +10,6 @@ they're provided (tested) for API completeness.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

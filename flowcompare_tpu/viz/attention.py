@@ -12,7 +12,7 @@ point highlighted).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +49,6 @@ def capture_attention(model: FlowCompareModel, params, state, batch, *,
 
     Returns {"augmenter": (B, N, Nc) or None, layer_idx: (B, N, Nc), ...}.
     """
-    from ..model import inner_loop  # shapes/conventions come from there
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     c = model.config
     extract_0, extract_1, extra = batch
