@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..model import FlowCompareModel, inner_loop
+from ..model import LOG2E, FlowCompareModel, inner_loop
 
 
 def clamp_infs(x: jnp.ndarray) -> jnp.ndarray:
@@ -60,31 +60,48 @@ def evaluate_on_test(model: FlowCompareModel, params, state,
     c = model.config
 
     @jax.jit
-    def eval_pair(params, state, batch, key):
-        loss, log_prob, nats, _ = inner_loop(
-            model, params, state, batch, rng=key, training=False)
-        return loss, log_prob, nats
+    def eval_directions(params, state, stacked_batch, key):
+        """All conditioning directions of one eval batch stacked along the
+        batch axis — ONE compiled dispatch instead of 2 (or 4)."""
+        loss, log_prob, _, _ = inner_loop(
+            model, params, state, stacked_batch, rng=key, training=False)
+        return log_prob
 
+    n_dir = 4 if compute_reverse else 2
     nats_avg = 0.0
     change_mean_list: list[float] = []
+    reverse_change_list: list[float] = []
     for batch_ind, item in enumerate(dataset):
         (v0l, v1s, extra, v1l_self, v1s_self, v_opp_small, v_opp_large,
          v0s_self, v0l_self, _v0s_orig, _v1s_orig) = [
             jnp.asarray(t) if t is not None else None for t in item]
-        if not c["using_extra_context"]:
-            extra = None
-        k1, k2, k3, k4, rng = jax.random.split(rng, 5)
-        _, lp_1_0, nats = eval_pair(params, state, (v0l, v1s, extra), k1)
-        _, lp_0_0, _ = eval_pair(params, state, (v0l_self, v0s_self, extra), k2)
+        b = v1s.shape[0]
+        contexts = [v0l, v0l_self] + ([v_opp_large, v1l_self]
+                                      if compute_reverse else [])
+        targets = [v1s, v0s_self] + ([v_opp_small, v1s_self]
+                                     if compute_reverse else [])
+        extra_s = (jnp.concatenate([extra] * n_dir)
+                   if (extra is not None and c["using_extra_context"]) else None)
+        key, rng = jax.random.split(rng)
+        lp = eval_directions(
+            params, state,
+            (jnp.concatenate(contexts), jnp.concatenate(targets), extra_s), key)
+        lp_1_0, lp_0_0 = lp[:b], lp[b:2 * b]
         change_1_0 = log_prob_to_change(lp_1_0, lp_0_0, multiple=multiple)
         change_mean_list.extend(
-            np.asarray(jnp.mean((change_1_0 > 0).astype(jnp.float32), axis=-1)).tolist())
+            np.asarray(jnp.mean((change_1_0 > 0).astype(jnp.float32),
+                                axis=-1)).tolist())
         if compute_reverse:
-            _, lp_0_1, _ = eval_pair(params, state, (v_opp_large, v_opp_small, extra), k3)
-            _, lp_1_1, _ = eval_pair(params, state, (v1l_self, v1s_self, extra), k4)
-            _ = log_prob_to_change(lp_0_1, lp_1_1, multiple=multiple)
-        nats_item = float(nats)
+            lp_0_1, lp_1_1 = lp[2 * b:3 * b], lp[3 * b:]
+            change_0_1 = log_prob_to_change(lp_0_1, lp_1_1, multiple=multiple)
+            reverse_change_list.extend(
+                np.asarray(jnp.mean((change_0_1 > 0).astype(jnp.float32),
+                                    axis=-1)).tolist())
+        # nats as the reference computes it: from the t1|t0 direction
+        nats_item = float(-jnp.mean(lp_1_0)) * LOG2E / c["input_dim"]
         nats_avg = (nats_avg * batch_ind + nats_item) / (batch_ind + 1)
+    if compute_reverse:
+        return nats_avg, change_mean_list, reverse_change_list
     return nats_avg, change_mean_list
 
 

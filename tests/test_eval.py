@@ -50,3 +50,17 @@ def test_evaluate_on_test_runs():
     assert np.isfinite(nats)
     assert len(change_means) == 4
     assert all(0.0 <= m <= 1.0 for m in change_means)
+
+
+def test_evaluate_on_test_reverse_direction():
+    cfg = tiny_config()
+    model = FlowCompareModel(cfg)
+    params, state = model.init_params(jax.random.PRNGKey(0))
+    ds = SyntheticVoxelDataset(
+        n_items=2, batch_size=2, sample_size=cfg["sample_size"],
+        n_samples_context=cfg["n_samples_context"], with_extra=True,
+        mode="test", include_all=True)
+    nats, fwd, rev = evaluate_on_test(model, params, state, ds,
+                                      compute_reverse=True)
+    assert np.isfinite(nats)
+    assert len(fwd) == 2 and len(rev) == 2
