@@ -409,7 +409,7 @@ class FlowCompareModel:
         # TPU-compiled only: the kernel relies on sequential grid execution
         # for its layer-carry aliasing, which interpret mode does not honor
         return (self.fused_layers and jax.default_backend() == "tpu"
-                and not self.is_cif and not self.is_global
+                and not self.is_cif
                 and self.flow_type == "AffineCoupling"
                 and c["affine_scale_fn"] == "sigmoid"
                 and self.permuter_type == "LinearLU" and self.use_act_norm

@@ -65,18 +65,19 @@ def _mlp(h, weights, biases):
     return lin(h, len(weights) - 1)  # f32 out
 
 
-def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, split: int,
-            scale: float, eps_affine: float):
+def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
+            split: int, scale: float, eps_affine: float):
     it = iter(refs)
     x_ref = next(it)          # (1, QB, LAT) f32   [aliased out]
     ldj_ref = next(it)        # (1, QB, 1)   f32   [aliased out]
-    ctx_ref = next(it)        # (1, Nc, E)   bf16
+    ctx_ref = next(it)        # attn: (1, Nc, E); global: (1, QB, E) bf16
     extra_ref = next(it) if has_extra else None
-    pre_w = [(next(it), next(it)) for _ in range(n_pre)]
-    ln_s, ln_b = next(it), next(it)
-    wq = next(it)
-    wkv = next(it)
-    wout, bout = next(it), next(it)
+    if has_attn:
+        pre_w = [(next(it), next(it)) for _ in range(n_pre)]
+        ln_s, ln_b = next(it), next(it)
+        wq = next(it)
+        wkv = next(it)
+        wout, bout = next(it), next(it)
     cpl_w = [(next(it), next(it)) for _ in range(n_cpl)]
     an_shift, an_logscale = next(it), next(it)
     lu_w = next(it)           # (1, LAT, LAT) bf16 (pre-folded L@U)
@@ -89,37 +90,42 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, split: int,
     x2 = x[:, split:]
     x1b = x1.astype(jnp.bfloat16)
 
-    # pre-attention MLP + LayerNorm (f32 stats) + q projection
-    q_in = _mlp(x1b, [(w[0],) for w, _ in pre_w], [(b[0],) for _, b in pre_w])
-    mean = jnp.mean(q_in, axis=-1, keepdims=True)
-    var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
-    qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
-    qn = qn * ln_s[0].astype(jnp.float32) + ln_b[0].astype(jnp.float32)
-    q = jnp.dot(qn.astype(jnp.bfloat16), wq[0],
-                preferred_element_type=jnp.float32)   # (QB, D)
+    if has_attn:
+        # pre-attention MLP + LayerNorm (f32 stats) + q projection
+        q_in = _mlp(x1b, [(w[0],) for w, _ in pre_w],
+                    [(b[0],) for _, b in pre_w])
+        mean = jnp.mean(q_in, axis=-1, keepdims=True)
+        var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
+        qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
+        qn = qn * ln_s[0].astype(jnp.float32) + ln_b[0].astype(jnp.float32)
+        q = jnp.dot(qn.astype(jnp.bfloat16), wq[0],
+                    preferred_element_type=jnp.float32)   # (QB, D)
 
-    # attention over the full context block
-    ctx = ctx_ref[0]                               # (Nc, E)
-    kv = jnp.dot(ctx, wkv[0], preferred_element_type=jnp.float32)
-    d = q.shape[-1]
-    k = kv[:, :d]
-    v = kv[:, d:]
-    s = jnp.dot(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16).T,
-                preferred_element_type=jnp.float32) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    a = jnp.dot(p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
-    a_out = (jnp.dot(a.astype(jnp.bfloat16), wout[0],
-                     preferred_element_type=jnp.float32)
-             + bout[0].astype(jnp.float32))        # (QB, attn_dim)
+        # attention over the full context block
+        ctx = ctx_ref[0]                           # (Nc, E)
+        kv = jnp.dot(ctx, wkv[0], preferred_element_type=jnp.float32)
+        d = q.shape[-1]
+        k = kv[:, :d]
+        v = kv[:, d:]
+        s = jnp.dot(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        a = jnp.dot(p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        cond = (jnp.dot(a.astype(jnp.bfloat16), wout[0],
+                        preferred_element_type=jnp.float32)
+                + bout[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    else:
+        # global conditioner: the broadcast embedding IS the context
+        cond = ctx_ref[0]                          # (QB, E) bf16
 
-    # coupling MLP input: [x1, extra?, attn]
+    # coupling MLP input: [x1, extra?, cond]
     parts = [x1b]
     if has_extra:
         parts.append(extra_ref[0])
-    parts.append(a_out.astype(jnp.bfloat16))
+    parts.append(cond)
     h = jnp.concatenate(parts, axis=-1)
     st = _mlp(h, [(w[0],) for w, _ in cpl_w], [(b[0],) for _, b in cpl_w])
 
@@ -160,7 +166,8 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
     n_layers = stacks["lu_ldj"].shape[0]
     nc, e_dim = context.shape[1], context.shape[2]
     split = lat // 2
-    d = stacks["wq"].shape[-1]
+    has_attn = "wq" in stacks
+    d = stacks["wq"].shape[-1] if has_attn else 1
     scale = d ** -0.5
     has_extra = extra is not None
 
@@ -170,13 +177,16 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
     bf = jnp.bfloat16
     inputs = [x.astype(jnp.float32), ldj.astype(jnp.float32)[..., None],
               context.astype(bf)]
+    ctx_spec = (pl.BlockSpec((1, nc, e_dim), lambda l, bi, nb: (bi, 0, 0),
+                             memory_space=pltpu.VMEM) if has_attn else
+                pl.BlockSpec((1, qb, e_dim), lambda l, bi, nb: (bi, nb, 0),
+                             memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((1, qb, lat), lambda l, bi, nb: (bi, nb, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, qb, 1), lambda l, bi, nb: (bi, nb, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nc, e_dim), lambda l, bi, nb: (bi, 0, 0),
-                     memory_space=pltpu.VMEM),
+        ctx_spec,
     ]
     if has_extra:
         inputs.append(extra.astype(bf))
@@ -194,15 +204,16 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
             blk, lambda l, bi, nb: (l,) + (0,) * (arr.ndim - 1),
             memory_space=pltpu.VMEM))
 
-    for w, bb in stacks["pre"]:
-        add_stacked(w)
-        add_stacked(bb)
-    add_stacked(stacks["ln_scale"])
-    add_stacked(stacks["ln_bias"])
-    add_stacked(stacks["wq"])
-    add_stacked(stacks["wkv"])
-    add_stacked(stacks["wout"])
-    add_stacked(stacks["bout"])
+    if has_attn:
+        for w, bb in stacks["pre"]:
+            add_stacked(w)
+            add_stacked(bb)
+        add_stacked(stacks["ln_scale"])
+        add_stacked(stacks["ln_bias"])
+        add_stacked(stacks["wq"])
+        add_stacked(stacks["wkv"])
+        add_stacked(stacks["wout"])
+        add_stacked(stacks["bout"])
     for w, bb in stacks["cpl"]:
         add_stacked(w)
         add_stacked(bb)
@@ -212,8 +223,9 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
     add_stacked(stacks["lu_ldj"].reshape(n_layers, 1, 1), jnp.float32)
 
     kernel = functools.partial(
-        _kernel, n_pre=len(stacks["pre"]), n_cpl=len(stacks["cpl"]),
-        has_extra=has_extra, split=split, scale=scale, eps_affine=eps_affine)
+        _kernel, n_pre=len(stacks.get("pre", ())), n_cpl=len(stacks["cpl"]),
+        has_extra=has_extra, has_attn=has_attn, split=split, scale=scale,
+        eps_affine=eps_affine)
 
     out_x, out_ldj = pl.pallas_call(
         kernel,
@@ -249,19 +261,23 @@ def build_layer_stacks(model, layers_prepared: dict) -> dict:
         ws.append((p["out"]["w"], p["out"]["b"]))
         return ws
 
-    attn = blk["attn"]
     an = layers_prepared["actnorm"]
-    return {
-        "pre": mlp_stack(blk["pre_attention_mlp"]),
-        "ln_scale": attn["norm"]["scale"][:, None, :],
-        "ln_bias": attn["norm"]["bias"][:, None, :],
-        "wq": attn["to_q"]["w"],
-        "wkv": attn["to_kv"]["w"],
-        "wout": attn["out"]["w"],
-        "bout": attn["out"]["b"][:, None, :],
+    stacks = {
         "cpl": mlp_stack(blk["coupling"]["nn"]),
         "an_shift": an["shift"],
         "an_logscale": an["log_scale"],
         "lu_w": layers_prepared["permuter"]["w_folded"],
         "lu_ldj": layers_prepared["permuter"]["ldj"],
     }
+    if "attn" in blk:  # attention conditioner (non-global configs)
+        attn = blk["attn"]
+        stacks.update({
+            "pre": mlp_stack(blk["pre_attention_mlp"]),
+            "ln_scale": attn["norm"]["scale"][:, None, :],
+            "ln_bias": attn["norm"]["bias"][:, None, :],
+            "wq": attn["to_q"]["w"],
+            "wkv": attn["to_kv"]["w"],
+            "wout": attn["out"]["w"],
+            "bout": attn["out"]["b"][:, None, :],
+        })
+    return stacks
