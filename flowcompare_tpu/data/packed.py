@@ -44,7 +44,8 @@ def write_packed(path: str, items: Iterator[Sequence[np.ndarray]],
         header_pos = f.tell()
         header = {"n_items": 0, "fields": fields,
                   "record_floats": record_floats}
-        hdr_bytes = json.dumps(header).encode()
+        # reserve room for the final n_items value (unknown while streaming)
+        hdr_bytes = json.dumps(header).encode() + b" " * 24
         f.write(struct.pack("<q", len(hdr_bytes)))
         f.write(hdr_bytes)
         data_start = f.tell()
@@ -61,14 +62,15 @@ def write_packed(path: str, items: Iterator[Sequence[np.ndarray]],
             write_item(item)
             n_items += 1
 
-        # back-patch the final header (same byte length: n_items padded)
+        # back-patch the final header into the reserved space
         f.seek(4)
         f.write(struct.pack("<q", data_start))
         f.seek(header_pos)
         header["n_items"] = n_items
         hdr2 = json.dumps(header).encode()
         pad = len(hdr_bytes) - len(hdr2)
-        assert pad >= 0
+        if pad < 0:
+            raise ValueError(f"header overflow: {n_items} items")
         f.write(struct.pack("<q", len(hdr_bytes)))
         f.write(hdr2 + b" " * pad)
     return {"n_items": n_items, "record_floats": record_floats,

@@ -1,4 +1,6 @@
 from .checkpoint import load_checkpoint, restore_into, save_checkpoint
+from .distributed import initialize as distributed_initialize
+from .distributed import local_batch_slice, make_global_batch
 from .mesh import make_mesh, shard_batch, shard_params
 from .metrics import JsonlWriter, MetricWriter, MultiWriter, StdoutWriter
 from .optim import PlateauState, make_optimizer, plateau_init, plateau_update
@@ -13,6 +15,7 @@ from .trainer import (
 
 __all__ = [
     "load_checkpoint", "restore_into", "save_checkpoint",
+    "distributed_initialize", "local_batch_slice", "make_global_batch",
     "make_mesh", "shard_batch", "shard_params",
     "JsonlWriter", "MetricWriter", "MultiWriter", "StdoutWriter",
     "PlateauState", "make_optimizer", "plateau_init", "plateau_update",

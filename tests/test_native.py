@@ -70,3 +70,16 @@ def test_packed_dataset_roundtrip(tmp_path):
     all_a = np.sort(np.concatenate([b[2].reshape(-1) for b in packed_s]))
     all_b = np.sort(np.concatenate([b[2].reshape(-1) for b in packed]))
     np.testing.assert_allclose(all_a, all_b, rtol=1e-6)
+
+
+def test_packed_dataset_many_items(tmp_path):
+    """Regression: the back-patched header must accommodate item counts with
+    more digits than the streaming-time placeholder (>= 10 items)."""
+    ds = SyntheticVoxelDataset(n_items=14, batch_size=2, sample_size=16,
+                               n_samples_context=24)
+    path = str(tmp_path / "many.fcpack")
+    info = pack_dataset(ds, path)
+    assert info["n_items"] == 14
+    packed = PackedVoxelDataset(path, batch_size=7)
+    assert packed.n_items == 14
+    assert len(list(packed)) == 2

@@ -115,3 +115,19 @@ def test_resume_from_checkpoint(tmp_path):
     state2 = train(model, ds, key=jax.random.PRNGKey(1),
                    save_dir=str(tmp_path), max_steps=1, resume_from=path)
     assert np.isfinite(float(state2.plateau.best))
+
+
+def test_distributed_helpers_single_host():
+    from flowcompare_tpu.train import (
+        distributed_initialize, local_batch_slice, make_global_batch)
+    # no coordinator configured -> no-op
+    assert distributed_initialize() is False
+    start, size = local_batch_slice(8)
+    assert (start, size) == (0, 8)
+    mesh = make_mesh(n_data=8, n_model=1)
+    batch = (np.ones((8, 4, 6), np.float32), np.ones((8, 3, 6), np.float32),
+             None)
+    gb = make_global_batch(batch, mesh)
+    assert gb[0].shape == (8, 4, 6) and gb[2] is None
+    # globally sharded over the data axis
+    assert len(gb[0].sharding.device_set) == 8
