@@ -49,12 +49,18 @@ def log_prob_to_change(log_prob_1_given_0: jnp.ndarray,
 def evaluate_on_test(model: FlowCompareModel, params, state,
                      dataset: Iterable, *, rng: Optional[jax.Array] = None,
                      multiple: float = 5.4,
-                     compute_reverse: bool = False):
+                     compute_reverse: bool = False,
+                     generate_samples: bool = False,
+                     samples_dir: str = "save/examples/test_set_changes",
+                     n_gen_points: int = 4000):
     """Nats + per-voxel changed-fraction over an include_all dataset.
 
     dataset yields the 11-tensor eval items (data/synthetic.py get_item_all
     naming follows ams_voxel_loader.all_getter): returns
-    (nats_avg, change_mean_list).
+    (nats_avg, change_mean_list). generate_samples mirrors the reference's
+    per-batch artifact dumps (test_flow.py:183-226): a generated cloud
+    conditioned on t0 plus both original voxels, written under samples_dir
+    (named by the batch's changed fraction) via viz.save_cloud.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     c = model.config
@@ -97,6 +103,24 @@ def evaluate_on_test(model: FlowCompareModel, params, state,
             reverse_change_list.extend(
                 np.asarray(jnp.mean((change_0_1 > 0).astype(jnp.float32),
                                     axis=-1)).tolist())
+        if generate_samples:
+            import os
+            from ..model import make_sample
+            from ..viz import save_cloud
+            os.makedirs(samples_dir, exist_ok=True)
+            key, rng = jax.random.split(rng)
+            gen = make_sample(model, params, state, key, n_gen_points,
+                              v0l[:1], extra[:1] if extra is not None and
+                              c["using_extra_context"] else None)
+            change_val = float(jnp.mean((change_1_0[0] > 0)))
+            gen_np = np.asarray(gen[0])
+            save_cloud(
+                f"{samples_dir}/{change_val:.2f}_{batch_ind}_gen_given_0",
+                gen_np[:, :3], np.clip(gen_np[:, 3:6], 0, 1))
+            for name, cloud in (("0_small", _v0s_orig), ("1_small", _v1s_orig)):
+                cn = np.asarray(cloud[0])
+                save_cloud(f"{samples_dir}/{change_val:.2f}_{batch_ind}_{name}",
+                           cn[:, :3], np.clip(cn[:, 3:6], 0, 1))
         # nats as the reference computes it: from the t1|t0 direction
         nats_item = float(-jnp.mean(lp_1_0)) * LOG2E / c["input_dim"]
         nats_avg = (nats_avg * batch_ind + nats_item) / (batch_ind + 1)

@@ -46,13 +46,6 @@ def _tree_stack(trees):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *trees)
 
 
-def _cast_tree(tree, dtype):
-    return jax.tree_util.tree_map(
-        lambda p: p.astype(dtype)
-        if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating) else p,
-        tree)
-
-
 class FlowCompareModel:
     """Static model definition; parameters travel separately as a pytree."""
 

@@ -64,3 +64,20 @@ def test_evaluate_on_test_reverse_direction():
                                       compute_reverse=True)
     assert np.isfinite(nats)
     assert len(fwd) == 2 and len(rev) == 2
+
+
+def test_evaluate_generate_samples(tmp_path):
+    cfg = tiny_config()
+    model = FlowCompareModel(cfg)
+    params, state = model.init_params(jax.random.PRNGKey(0))
+    ds = SyntheticVoxelDataset(
+        n_items=2, batch_size=2, sample_size=cfg["sample_size"],
+        n_samples_context=cfg["n_samples_context"], with_extra=True,
+        mode="test", include_all=True)
+    import os
+    out = str(tmp_path / "dumps")
+    evaluate_on_test(model, params, state, ds, generate_samples=True,
+                     samples_dir=out, n_gen_points=32)
+    files = os.listdir(out)
+    assert any("gen_given_0" in f for f in files)
+    assert any("0_small" in f for f in files)
