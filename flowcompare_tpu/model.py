@@ -424,12 +424,15 @@ class FlowCompareModel:
         layers = self._prepare_layers(params["layers"])
 
         if self._can_fuse_layers():
-            from .ops.flow_layer_pallas import build_layer_stacks, fused_flow_layers
+            from .ops.flow_layer_pallas import (
+                append_final_block, build_layer_stacks, fused_flow_layers)
             stacks = build_layer_stacks(self, layers)
+            # the final coupling block rides the same kernel as layer
+            # n_flow_layers with identity ActNorm/LinearLU appended
+            stacks = append_final_block(stacks, params["final_block"],
+                                        self.latent_dim)
             x, ldj = fused_flow_layers(x, ldj, context, extra_context, stacks)
-            x, l = self._block_fwd(params["final_block"], x, context,
-                                   extra_context, final_key)
-            return ldj + l + standard_normal_logprob(x)
+            return ldj + standard_normal_logprob(x)
 
         xs = (layers, layer_keys) if self.is_cif else layers
 

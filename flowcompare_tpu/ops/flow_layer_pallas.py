@@ -249,6 +249,47 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
     return out_x, out_ldj[..., 0]
 
 
+def append_final_block(stacks: dict, final_block: dict, lat: int) -> dict:
+    """Fold the flow's final coupling block (no ActNorm/permuter after it —
+    model_initialization.py:144-148) into the layer stacks as one more
+    layer with an identity ActNorm (zeros) and identity LinearLU (eye, ldj
+    0), so the entire post-augmenter flow runs as ONE kernel."""
+    import numpy as np
+
+    def mlp_list(p):
+        ws = [(p["in"]["w"], p["in"]["b"])]
+        for hid in p["hidden"]:
+            ws.append((hid["w"], hid["b"]))
+        ws.append((p["out"]["w"], p["out"]["b"]))
+        return ws
+
+    def cat(stacked, new):
+        return jnp.concatenate([stacked, new[None].astype(stacked.dtype)], 0)
+
+    out = dict(stacks)
+    out["cpl"] = [(cat(w, nw), cat(b, nb)) for (w, b), (nw, nb)
+                  in zip(stacks["cpl"], mlp_list(final_block["coupling"]["nn"]))]
+    if "attn" in final_block:
+        attn = final_block["attn"]
+        out["pre"] = [(cat(w, nw), cat(b, nb)) for (w, b), (nw, nb)
+                      in zip(stacks["pre"],
+                             mlp_list(final_block["pre_attention_mlp"]))]
+        out["ln_scale"] = cat(stacks["ln_scale"], attn["norm"]["scale"][None])
+        out["ln_bias"] = cat(stacks["ln_bias"], attn["norm"]["bias"][None])
+        out["wq"] = cat(stacks["wq"], attn["to_q"]["w"])
+        out["wkv"] = cat(stacks["wkv"], attn["to_kv"]["w"])
+        out["wout"] = cat(stacks["wout"], attn["out"]["w"])
+        out["bout"] = cat(stacks["bout"], attn["out"]["b"][None])
+    zeros = jnp.zeros((1, 1, lat), stacks["an_shift"].dtype)
+    out["an_shift"] = jnp.concatenate([stacks["an_shift"], zeros], 0)
+    out["an_logscale"] = jnp.concatenate([stacks["an_logscale"], zeros], 0)
+    eye = jnp.eye(lat, dtype=stacks["lu_w"].dtype)[None]
+    out["lu_w"] = jnp.concatenate([stacks["lu_w"], eye], 0)
+    out["lu_ldj"] = jnp.concatenate(
+        [stacks["lu_ldj"], jnp.zeros((1,), stacks["lu_ldj"].dtype)], 0)
+    return out
+
+
 def build_layer_stacks(model, layers_prepared: dict) -> dict:
     """Assemble the kernel's weight stacks from prepared scan params
     (model._prepare_layers output, LinearLU already folded)."""
