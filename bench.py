@@ -3,7 +3,7 @@
 Runs the full dulcet-universe model (115 flow layers, latent 300, DGCNN
 attention conditioner, 165M params) at the reference's eval workload
 (batch 20, 1024 target / 1250 context points per item) on the attached TPU
-chip, measuring sustained dataset-eval throughput: chunks of 5 batches are
+chip, measuring sustained dataset-eval throughput: chunks of 10 batches are
 evaluated per compiled dispatch (lax.scan over the chunk — exactly how an
 eval loop over a dataset amortises host dispatch), with a forced host sync
 per chunk.
@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 
 A100_BASELINE_POINTS_PER_SEC = 75_000.0
-CHUNK = 5          # batches per compiled dispatch
-N_CHUNKS = 4       # timed chunks
+CHUNK = 10         # batches per compiled dispatch
+N_CHUNKS = 3       # timed chunks
 
 
 def main():
@@ -86,7 +86,7 @@ def main():
 
     points_per_sec = CHUNK * batch_size * cfg["sample_size"] / dt
     print(json.dumps({
-        "metric": "points/sec/chip (nats eval, dulcet-universe, 5-batch chunks)",
+        "metric": "points/sec/chip (nats eval, dulcet-universe, 10-batch chunks)",
         "value": round(points_per_sec, 1),
         "unit": "points/sec",
         "vs_baseline": round(points_per_sec / A100_BASELINE_POINTS_PER_SEC, 3),
