@@ -104,8 +104,18 @@ def cmd_train(args):
 
 
 def cmd_evaluate(args):
+    import jax
     from .eval import evaluate_on_test
     model, params, state, config = _load_model(args.checkpoint)
+    if args.fast:
+        # bf16 + fused kernels: ~2.5x faster eval; nats drift ~0.002 vs the
+        # f32 parity path (budget +-0.01)
+        config["compute_dtype"] = "bfloat16"
+        from .model import FlowCompareModel
+        model = FlowCompareModel(config)
+        model.remat = False
+        model.fused_layers = True
+        params = jax.tree_util.tree_map(lambda a: a, params)
 
     class _EvalBatches:
         def __init__(self, ds, bs):
@@ -123,7 +133,8 @@ def cmd_evaluate(args):
     batches = ds if args.data == "synthetic" else _EvalBatches(
         ds, config["batch_size"])
     nats, change_means = evaluate_on_test(
-        model, params, state, batches, multiple=args.multiple)
+        model, params, state, batches, multiple=args.multiple,
+        generate_samples=args.generate_samples)
     print(json.dumps({"nats": nats,
                       "mean_changed_fraction": float(sum(change_means) /
                                                      max(len(change_means), 1)),
@@ -198,6 +209,9 @@ def main(argv=None):
     e = sub.add_parser("evaluate", help="test-set nats + change fractions")
     e.add_argument("--checkpoint", required=True)
     e.add_argument("--multiple", type=float, default=5.4)
+    e.add_argument("--fast", action="store_true",
+                   help="bf16 + fused kernels (nats drift ~0.002)")
+    e.add_argument("--generate-samples", action="store_true")
     add_data_args(e)
     e.set_defaults(fn=cmd_evaluate)
 
