@@ -23,6 +23,7 @@ checkpointing overhead => ~75k points/sec. The north-star target
 """
 
 import json
+import os
 import time
 
 import jax
@@ -36,14 +37,19 @@ N_CHUNKS = 3       # timed chunks
 def main():
     import flowcompare_tpu as fc
 
-    cfg = fc.get_config("dulcet-universe")
+    # `flowcompare bench --preset X --batch-size B` parameterizes through the
+    # env (cli.py cmd_bench); the bare driver invocation benches the flagship
+    preset = os.environ.get("FLOWCOMPARE_BENCH_PRESET", "dulcet-universe")
+    cfg = fc.get_config(preset)
+    if os.environ.get("FLOWCOMPARE_BENCH_BATCH"):
+        cfg["batch_size"] = int(os.environ["FLOWCOMPARE_BENCH_BATCH"])
     # bf16 compute / f32 ldj policy: nats delta vs pure-f32 measured at 0.002
     # (within the +-0.01 parity budget)
     cfg["compute_dtype"] = "bfloat16"
     cfg["scan_unroll"] = 4
-    model = fc.FlowCompareModel(cfg)
-    model.remat = False        # eval forward — no memory/compute trade needed
-    model.fused_layers = True  # Pallas flow-layer megakernel (eval-only)
+    # remat off (eval forward — no memory/compute trade needed),
+    # fused_layers on (Pallas flow-layer megakernel, eval-only)
+    model = fc.FlowCompareModel(cfg, remat=False, fused_layers=True)
 
     params, state = model.init_params(jax.random.PRNGKey(0))
     batch_size = cfg["batch_size"]  # 20, per reference config
@@ -86,7 +92,7 @@ def main():
 
     points_per_sec = CHUNK * batch_size * cfg["sample_size"] / dt
     print(json.dumps({
-        "metric": "points/sec/chip (nats eval, dulcet-universe, 10-batch chunks)",
+        "metric": f"points/sec/chip (nats eval, {preset}, 10-batch chunks)",
         "value": round(points_per_sec, 1),
         "unit": "points/sec",
         "vs_baseline": round(points_per_sec / A100_BASELINE_POINTS_PER_SEC, 3),

@@ -37,6 +37,15 @@ def load_config(spec: str) -> dict:
 
 
 def _dataset(args, config, mode: str, include_all: bool = False):
+    if args.data == "packed":
+        if include_all:
+            raise SystemExit("--data packed holds train items; evaluation "
+                             "needs the 11-tensor eval items (use ams/synthetic)")
+        from .data import PackedVoxelDataset
+        return PackedVoxelDataset(
+            args.packed_file, config["batch_size"],
+            shuffle=(mode == "train"),
+            with_extra=config["using_extra_context"])
     if args.data == "synthetic":
         from .data import SyntheticVoxelDataset
         return SyntheticVoxelDataset(
@@ -57,9 +66,15 @@ def _dataset(args, config, mode: str, include_all: bool = False):
         self_pairs_train=config.get("self_pairs_train", False))
 
     class _Batches:
+        _epoch = 0
+
+        def __init__(self):
+            self.loader = loader
+
         def __iter__(self):
-            return batch_iterator(loader, config["batch_size"],
-                                  shuffle=(mode == "train"))
+            epoch, self._epoch = self._epoch, self._epoch + 1
+            return batch_iterator(self.loader, config["batch_size"],
+                                  shuffle=(mode == "train"), epoch=epoch)
 
         def __len__(self):
             return len(loader) // config["batch_size"]
@@ -110,11 +125,8 @@ def cmd_evaluate(args):
     if args.fast:
         # bf16 + fused kernels: ~2.5x faster eval; nats drift ~0.002 vs the
         # f32 parity path (budget +-0.01)
-        config["compute_dtype"] = "bfloat16"
-        from .model import FlowCompareModel
-        model = FlowCompareModel(config)
-        model.remat = False
-        model.fused_layers = True
+        model = model.with_options(compute_dtype="bfloat16",
+                                   remat=False, fused_layers=True)
         params = jax.tree_util.tree_map(lambda a: a, params)
 
     class _EvalBatches:
@@ -169,9 +181,34 @@ def cmd_convert(args):
     print(f"converted {args.torch_checkpoint} -> {args.out}")
 
 
+def cmd_pack(args):
+    """Freeze a live item source into a mmap'd pack file (offline tool).
+
+    Replaces the reference's per-epoch DataLoader-worker re-preprocessing
+    (train.py:41-42): preprocess once, train from the native mmap gather."""
+    from .data import pack_dataset
+    config = load_config(args.config)
+    ds = _dataset(args, config, args.mode)
+    if args.data == "synthetic":
+        # _dataset returns the dataset itself (an item source) for synthetic
+        src = ds
+    else:
+        # AMS path: _Batches wraps the loader; reach the underlying item source
+        from .data import AmsVoxelLoader
+        src = ds if isinstance(ds, AmsVoxelLoader) else ds.loader
+    info = pack_dataset(src, args.out,
+                        indices=range(args.limit) if args.limit else None)
+    print(json.dumps({"out": args.out, **{k: info[k] for k in
+                                          ("n_items", "record_floats")}}))
+
+
 def cmd_bench(args):
     import runpy
     import os
+    if args.preset:
+        os.environ["FLOWCOMPARE_BENCH_PRESET"] = args.preset
+    if args.batch_size:
+        os.environ["FLOWCOMPARE_BENCH_BATCH"] = str(args.batch_size)
     runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench.py"), run_name="__main__")
 
@@ -188,11 +225,14 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="flowcompare")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def add_data_args(sp):
-        sp.add_argument("--data", choices=["synthetic", "ams"],
-                        default="synthetic")
+    def add_data_args(sp, packed_ok: bool = False):
+        choices = ["synthetic", "ams"] + (["packed"] if packed_ok else [])
+        sp.add_argument("--data", choices=choices, default="synthetic")
         sp.add_argument("--n-items", type=int, default=64)
         sp.add_argument("--processed-dir", default="save/processed_dataset")
+        if packed_ok:
+            sp.add_argument("--packed-file", default="save/train.fcpack",
+                            help="pack file written by `flowcompare pack`")
 
     t = sub.add_parser("train", help="train a model")
     t.add_argument("--config", default="dulcet-universe")
@@ -203,8 +243,17 @@ def main(argv=None):
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--resume", default=None)
     t.add_argument("--data-parallel", action="store_true")
-    add_data_args(t)
+    add_data_args(t, packed_ok=True)
     t.set_defaults(fn=cmd_train)
+
+    pk = sub.add_parser("pack", help="freeze a dataset into a mmap pack file")
+    pk.add_argument("--config", default="dulcet-universe")
+    pk.add_argument("--out", default="save/train.fcpack")
+    pk.add_argument("--mode", choices=["train", "test"], default="train")
+    pk.add_argument("--limit", type=int, default=None,
+                    help="pack only the first N items")
+    add_data_args(pk)
+    pk.set_defaults(fn=cmd_pack)
 
     e = sub.add_parser("evaluate", help="test-set nats + change fractions")
     e.add_argument("--checkpoint", required=True)
@@ -231,6 +280,9 @@ def main(argv=None):
     c.set_defaults(fn=cmd_convert)
 
     b = sub.add_parser("bench", help="headline throughput benchmark")
+    b.add_argument("--preset", default=None,
+                   help="config preset to benchmark (default dulcet-universe)")
+    b.add_argument("--batch-size", type=int, default=None)
     b.set_defaults(fn=cmd_bench)
 
     v = sub.add_parser("view", help="Dash change-map browser")

@@ -90,16 +90,39 @@ def convert_flow_state_dict(flow_sd: Dict[str, Any], config: dict) -> dict:
         augmenter = {"net": _mlp(flow_sd, f"transforms.{t}.noise_dist.net")}
     t += 1
 
+    is_cif = config.get("cif_latent_dim", config["latent_dim"]) > config["latent_dim"]
+
+    def _coupling_extras(block: dict, prefix: str):
+        if config["flow_type"] == "ExponentialCoupling":
+            for k in ("scale", "shift", "rescale", "reshift"):
+                block["coupling"][k] = np.asarray(flow_sd[f"{prefix}.{k}"])
+
     def block_at(idx: int) -> dict:
         p = f"transforms.{idx}"
+        if is_cif:
+            # CIFblock (models/cif_block.py:49-68): augmenter + affine_cif +
+            # act_norm + inner PreConditionApplier flow. The slicer SHARES
+            # the augmenter's ConditionalNormal net (cif_block.py:58), so
+            # only the augmenter copy is read.
+            block = {
+                "coupling": {"nn": _mlp(flow_sd, f"{p}.flow.transform.nn")},
+                "pre_attention_mlp": _mlp(
+                    flow_sd, f"{p}.flow.pre_conditioner.pre_attention_mlp"),
+                "attn": _attn(flow_sd, f"{p}.flow.pre_conditioner.attn"),
+                "cif_net": _mlp(flow_sd, f"{p}.augmenter.noise_dist.net"),
+                "affine_cif": {"nn": _mlp(flow_sd, f"{p}.affine_cif.nn")},
+                "cif_actnorm": {
+                    "shift": np.asarray(flow_sd[f"{p}.act_norm.shift"]),
+                    "log_scale": np.asarray(flow_sd[f"{p}.act_norm.log_scale"])},
+            }
+            _coupling_extras(block, f"{p}.flow.transform")
+            return block
         block = {"coupling": {"nn": _mlp(flow_sd, f"{p}.transform.nn")}}
         if not is_global:
             block["pre_attention_mlp"] = _mlp(
                 flow_sd, f"{p}.pre_conditioner.pre_attention_mlp")
             block["attn"] = _attn(flow_sd, f"{p}.pre_conditioner.attn")
-        if config["flow_type"] == "ExponentialCoupling":
-            for k in ("scale", "shift", "rescale", "reshift"):
-                block["coupling"][k] = np.asarray(flow_sd[f"{p}.transform.{k}"])
+        _coupling_extras(block, f"{p}.transform")
         return block
 
     def actnorm_at(idx: int) -> dict:

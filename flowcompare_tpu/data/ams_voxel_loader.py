@@ -286,11 +286,17 @@ class AmsVoxelLoader:
 
 
 def batch_iterator(dataset, batch_size: int, *, shuffle: bool = False,
-                   seed: int = 0, drop_last: bool = True) -> Iterator:
-    """Stack dataset items into batches (torch DataLoader replacement)."""
+                   seed: int = 0, epoch: int = 0,
+                   drop_last: bool = True) -> Iterator:
+    """Stack dataset items into batches (torch DataLoader replacement).
+
+    `epoch` folds into the shuffle seed so each epoch draws a fresh
+    permutation, like DataLoader(shuffle=True) re-sampling every epoch
+    (reference train.py:41).
+    """
     order = np.arange(len(dataset))
     if shuffle:
-        np.random.default_rng(seed).shuffle(order)
+        np.random.default_rng(seed + 1_000_003 * epoch).shuffle(order)
     n = len(order) - (len(order) % batch_size if drop_last else 0)
     for start in range(0, n, batch_size):
         items = [dataset[int(i)] for i in order[start:start + batch_size]]

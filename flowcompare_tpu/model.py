@@ -47,9 +47,20 @@ def _tree_stack(trees):
 
 
 class FlowCompareModel:
-    """Static model definition; parameters travel separately as a pytree."""
+    """Static model definition; parameters travel separately as a pytree.
 
-    def __init__(self, config: dict):
+    `remat` / `fused_layers` / `compute_dtype` are jit-static: compiled
+    functions (eval/evaluate.py, bench.py) close over the model, so mutating
+    them after a trace would silently reuse a stale executable. They are
+    therefore constructor options, frozen after __init__ — use
+    `with_options(...)` to get a reconfigured model.
+    """
+
+    _JIT_STATIC_FLAGS = frozenset(
+        {"remat", "fused_layers", "compute_dtype", "_dt"})
+
+    def __init__(self, config: dict, *, remat: bool = True,
+                 fused_layers: bool = False):
         config = derive(dict(config))
         self.config = config
         self.nonlin = NONLINEARITIES[config["coupling_block_nonlinearity"]]
@@ -61,10 +72,10 @@ class FlowCompareModel:
         self.extra_dim = config["extra_context_dim"]
         self.flow_type = config["flow_type"]
         self.permuter_type = config["permuter_type"]
-        self.remat = True
+        self.remat = remat
         # eval-only fused layer megakernel (ops/flow_layer_pallas.py);
-        # enabled explicitly by eval/bench paths via this flag
-        self.fused_layers = False
+        # enabled explicitly by eval/bench paths via this option
+        self.fused_layers = fused_layers
         # Mixed-precision policy: matmuls/activations in compute_dtype
         # (bfloat16 on TPU for MXU rate), parameters and all ldj / log-prob
         # accumulation in float32 — replaces the reference's (disabled) AMP
@@ -92,6 +103,31 @@ class FlowCompareModel:
                 "conditional_attn" if config["use_attn_augment"] else "conditional")
         else:
             raise ValueError(f"Invalid augmenter_dist {config['augmenter_dist']}")
+        self._flags_frozen = True
+
+    def __setattr__(self, name, value):
+        if name in self._JIT_STATIC_FLAGS and getattr(self, "_flags_frozen",
+                                                      False):
+            raise AttributeError(
+                f"FlowCompareModel.{name} is jit-static: compiled functions "
+                "close over the model and would silently reuse a stale "
+                "executable if it changed. Pass it to the constructor or use "
+                "model.with_options(...) to build a reconfigured model.")
+        object.__setattr__(self, name, value)
+
+    def with_options(self, *, remat: Optional[bool] = None,
+                     fused_layers: Optional[bool] = None,
+                     compute_dtype: Optional[str] = None,
+                     **config_overrides) -> "FlowCompareModel":
+        """A new model sharing this config, with jit-static options changed."""
+        cfg = dict(self.config, **config_overrides)
+        if compute_dtype is not None:
+            cfg["compute_dtype"] = compute_dtype
+        return FlowCompareModel(
+            cfg,
+            remat=self.remat if remat is None else remat,
+            fused_layers=(self.fused_layers if fused_layers is None
+                          else fused_layers))
 
     # ------------------------------------------------------------- builders
 
@@ -397,6 +433,18 @@ class FlowCompareModel:
         x, l3 = self._permuter_fwd(lp["permuter"], x)
         return x, ldj + l3
 
+    def _can_fold_scan(self) -> bool:
+        """Eligibility for the folded lax.scan core (ops/flow_layer_pallas.
+        folded_scan_core): same graph family as the megakernel but
+        differentiable and backend-independent — used by training and
+        non-TPU eval. Disable with config folded_scan=False."""
+        c = self.config
+        return (bool(c.get("folded_scan", True))
+                and not self.is_cif
+                and self.flow_type == "AffineCoupling"
+                and c["affine_scale_fn"] == "sigmoid"
+                and self.permuter_type == "LinearLU" and self.use_act_norm)
+
     def _can_fuse_layers(self) -> bool:
         c = self.config
         # TPU-compiled only: the kernel relies on sequential grid execution
@@ -425,13 +473,35 @@ class FlowCompareModel:
 
         if self._can_fuse_layers():
             from .ops.flow_layer_pallas import (
-                append_final_block, build_layer_stacks, fused_flow_layers)
+                append_final_block, build_layer_stacks, fold_stacks,
+                fused_flow_layers)
             stacks = build_layer_stacks(self, layers)
             # the final coupling block rides the same kernel as layer
             # n_flow_layers with identity ActNorm/LinearLU appended
             stacks = append_final_block(stacks, params["final_block"],
                                         self.latent_dim)
+            stacks = fold_stacks(
+                stacks, split=self.latent_dim // 2,
+                extra_dim=(extra_context.shape[-1]
+                           if extra_context is not None else 0))
             x, ldj = fused_flow_layers(x, ldj, context, extra_context, stacks)
+            return ldj + standard_normal_logprob(x)
+
+        if self._can_fold_scan():
+            from .ops.flow_layer_pallas import (
+                append_final_block, build_layer_stacks, fold_stacks,
+                folded_scan_core)
+            stacks = append_final_block(
+                build_layer_stacks(self, layers), params["final_block"],
+                self.latent_dim)
+            folded = fold_stacks(
+                stacks, split=self.latent_dim // 2,
+                extra_dim=(extra_context.shape[-1]
+                           if extra_context is not None else 0))
+            x, ldj = folded_scan_core(
+                x, ldj, context, extra_context, folded, nonlin=self.nonlin,
+                dtype=self._dt, remat=self.remat,
+                unroll=self.config.get("scan_unroll", 1))
             return ldj + standard_normal_logprob(x)
 
         xs = (layers, layer_keys) if self.is_cif else layers

@@ -47,6 +47,27 @@ def _gelu(x):
     return 0.5 * x * (1.0 + jnp.sign(x) * (1.0 - poly * jnp.exp(-a * a)))
 
 
+def _mlp_rest(h, weights, biases, n_total):
+    """Hidden + out layers of the residual MLP, given the first activation.
+
+    `weights`/`biases` hold layers 1..n_total-1 of an n_total-layer MLP
+    (the input layer is computed by the caller — possibly as a folded sum
+    of several matmuls). Residual pattern matches core/mlp.apply_mlp."""
+    def lin(h, i):
+        y = jnp.dot(h, weights[i][0], preferred_element_type=jnp.float32)
+        return y + biases[i][0][0].astype(jnp.float32)
+
+    residual = h
+    for k, idx in enumerate(range(1, n_total - 1)):
+        if (idx - 1) % 2 == 0:
+            residual = h
+            h = _gelu(lin(h, k)).astype(jnp.bfloat16)
+        else:
+            h = _gelu(residual.astype(jnp.float32) + lin(h, k)).astype(
+                jnp.bfloat16)
+    return lin(h, n_total - 2)  # f32 out
+
+
 def _mlp(h, weights, biases):
     """Residual MLP (core/mlp.apply_mlp pattern), bf16 matmuls, f32 nonlin."""
     def lin(h, i):
@@ -54,19 +75,26 @@ def _mlp(h, weights, biases):
         return y + biases[i][0][0].astype(jnp.float32)
 
     h = _gelu(lin(h, 0)).astype(jnp.bfloat16)
-    residual = h
-    for idx in range(1, len(weights) - 1):
-        if (idx - 1) % 2 == 0:
-            residual = h
-            h = _gelu(lin(h, idx)).astype(jnp.bfloat16)
-        else:
-            h = _gelu(residual.astype(jnp.float32) + lin(h, idx)).astype(
-                jnp.bfloat16)
-    return lin(h, len(weights) - 1)  # f32 out
+    return _mlp_rest(h, weights[1:], biases[1:], len(weights))
 
 
 def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
-            split: int, scale: float, eps_affine: float):
+            split: int, eps_affine: float):
+    """One (layer, batch-item, query-block) step, ALGEBRAICALLY FOLDED:
+
+    * LayerNorm scale/bias and the 1/sqrt(d) softmax scale are pre-folded
+      into wq (-> `wq_f`, `bq_f`), so the kernel normalizes with plain
+      mean/rsqrt and skips three (QB, A)/(QB, Nc) elementwise passes.
+    * The attention out-projection is pre-folded into the conditioner rows
+      of the coupling MLP's input matmul (`cpl_in_c` = wout @ W_in[cond]),
+      deleting the per-point (64 -> 512) projection AND shrinking the
+      input matmul's contraction from pad(663)=768 to pad(151)=256 +
+      pad(64)=128 lanes — the single largest FLOP cut in the kernel.
+    * ActNorm is pre-folded into the LinearLU matmul (`lu_w_f` = W * D,
+      `lu_b` = -(shift*D) @ W^T), deleting two (QB, LAT) passes; its ldj
+      constant rides in `lu_ldj`.
+    See fold_stacks() for the host-side precomputation.
+    """
     it = iter(refs)
     x_ref = next(it)          # (1, QB, LAT) f32   [aliased out]
     ldj_ref = next(it)        # (1, QB, 1)   f32   [aliased out]
@@ -74,14 +102,15 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
     extra_ref = next(it) if has_extra else None
     if has_attn:
         pre_w = [(next(it), next(it)) for _ in range(n_pre)]
-        ln_s, ln_b = next(it), next(it)
-        wq = next(it)
+        wq_f, bq_f = next(it), next(it)
         wkv = next(it)
-        wout, bout = next(it), next(it)
-    cpl_w = [(next(it), next(it)) for _ in range(n_cpl)]
-    an_shift, an_logscale = next(it), next(it)
-    lu_w = next(it)           # (1, LAT, LAT) bf16 (pre-folded L@U)
-    lu_ldj = next(it)         # (1, 1, 1) f32
+    cpl_in_xe = next(it)      # (1, split+extra, H) bf16
+    cpl_in_c = next(it)       # (1, D|E, H) bf16 (attn: wout-folded)
+    cpl_in_b = next(it)       # (1, 1, H) f32
+    cpl_w = [(next(it), next(it)) for _ in range(n_cpl - 1)]
+    lu_w = next(it)           # (1, LAT, LAT) bf16 (ActNorm+L@U folded)
+    lu_b = next(it)           # (1, 1, LAT) f32
+    lu_ldj = next(it)         # (1, 1, 1) f32 (LU + ActNorm ldj)
     x_out = next(it)
     ldj_out = next(it)
 
@@ -89,17 +118,21 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
     x1 = x[:, :split]
     x2 = x[:, split:]
     x1b = x1.astype(jnp.bfloat16)
+    if has_extra:
+        x1e = jnp.concatenate([x1b, extra_ref[0]], axis=-1)
+    else:
+        x1e = x1b
 
     if has_attn:
-        # pre-attention MLP + LayerNorm (f32 stats) + q projection
+        # pre-attention MLP + LayerNorm (f32 stats; scale/bias live in wq_f)
         q_in = _mlp(x1b, [(w[0],) for w, _ in pre_w],
                     [(b[0],) for _, b in pre_w])
         mean = jnp.mean(q_in, axis=-1, keepdims=True)
         var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
         qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
-        qn = qn * ln_s[0].astype(jnp.float32) + ln_b[0].astype(jnp.float32)
-        q = jnp.dot(qn.astype(jnp.bfloat16), wq[0],
-                    preferred_element_type=jnp.float32)   # (QB, D)
+        q = (jnp.dot(qn.astype(jnp.bfloat16), wq_f[0],
+                     preferred_element_type=jnp.float32)
+             + bq_f[0][0].astype(jnp.float32))     # (QB, D), 1/sqrt(d) folded
 
         # attention over the full context block
         ctx = ctx_ref[0]                           # (Nc, E)
@@ -108,26 +141,24 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
         k = kv[:, :d]
         v = kv[:, d:]
         s = jnp.dot(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16).T,
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        a = jnp.dot(p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        a = jnp.dot(e.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
-        cond = (jnp.dot(a.astype(jnp.bfloat16), wout[0],
-                        preferred_element_type=jnp.float32)
-                + bout[0].astype(jnp.float32)).astype(jnp.bfloat16)
+        a = a / jnp.sum(e, axis=-1, keepdims=True)  # normalize AFTER pv
+        cond_op = a.astype(jnp.bfloat16)            # (QB, D)
     else:
         # global conditioner: the broadcast embedding IS the context
-        cond = ctx_ref[0]                          # (QB, E) bf16
+        cond_op = ctx_ref[0]                       # (QB, E) bf16
 
-    # coupling MLP input: [x1, extra?, cond]
-    parts = [x1b]
-    if has_extra:
-        parts.append(extra_ref[0])
-    parts.append(cond)
-    h = jnp.concatenate(parts, axis=-1)
-    st = _mlp(h, [(w[0],) for w, _ in cpl_w], [(b[0],) for _, b in cpl_w])
+    # coupling MLP input layer as a folded two-matmul sum
+    acc = jnp.dot(x1e, cpl_in_xe[0], preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(cond_op, cpl_in_c[0],
+                        preferred_element_type=jnp.float32)
+    h = _gelu(acc + cpl_in_b[0][0]).astype(jnp.bfloat16)
+    st = _mlp_rest(h, [(w[0],) for w, _ in cpl_w],
+                   [(b[0],) for _, b in cpl_w], n_cpl)
 
     # sigmoid-scale affine (reference affine_coupling sigmoid variant)
     x2_size = st.shape[-1] // 2
@@ -139,17 +170,164 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
 
     y = jnp.concatenate([x1, y2], axis=-1)
 
-    # ActNorm (f32 params)
-    y = (y - an_shift[0]) * jnp.exp(-an_logscale[0])
-    ldj_add = ldj_add + jnp.sum(-an_logscale[0])
-
-    # folded LinearLU
-    z = jnp.dot(y.astype(jnp.bfloat16), lu_w[0].T,
-                preferred_element_type=jnp.float32)
+    # ActNorm-folded LinearLU
+    z = (jnp.dot(y.astype(jnp.bfloat16), lu_w[0].T,
+                 preferred_element_type=jnp.float32)
+         + lu_b[0][0])
     ldj_add = ldj_add + lu_ldj[0, 0, 0]
 
     x_out[0] = z
     ldj_out[0] = ldj_ref[0] + ldj_add[:, None]
+
+
+def fold_stacks(stacks: dict, *, split: int, extra_dim: int) -> dict:
+    """Host-side algebraic folds (all in f32, once per dispatch — ~4 GFLOP
+    vs the ~8 TFLOP batch they accelerate):
+
+      wq_f  = (ln_scale ⊙ wq) / sqrt(d)        bq_f = (ln_bias @ wq)/sqrt(d)
+      cpl_in_xe = W_in[: split+extra]          (x1/extra rows, unchanged)
+      cpl_in_c  = wout @ W_in[split+extra :]   (out-proj folded away)
+      cpl_in_b  = b_in + bout @ W_in[split+extra :]
+      lu_w_f = lu_w ⊙ exp(-an_logscale)        lu_b = -(shift·D) @ lu_w^T
+      lu_ldj_f = lu_ldj + sum(-an_logscale)
+
+    Exact in real arithmetic; in bf16 it moves rounding from activations
+    into pre-folded weights (parity checked on-chip vs the scan path)."""
+    has_attn = "wq" in stacks
+    w_in, b_in = stacks["cpl"][0]
+    w_in = w_in.astype(jnp.float32)
+    b_in = b_in.astype(jnp.float32)
+    xe = split + extra_dim
+    out = {"pre": stacks.get("pre"), "wkv": stacks.get("wkv"),
+           "cpl_rest": stacks["cpl"][1:], "n_cpl": len(stacks["cpl"])}
+    out["cpl_in_xe"] = w_in[:, :xe]
+    if has_attn:
+        d = stacks["wq"].shape[-1]
+        scale = d ** -0.5
+        ln_s = stacks["ln_scale"].astype(jnp.float32)   # (L, 1, A)
+        ln_b = stacks["ln_bias"].astype(jnp.float32)
+        wq = stacks["wq"].astype(jnp.float32)           # (L, A, D)
+        out["wq_f"] = ln_s[:, 0, :, None] * wq * scale
+        out["bq_f"] = jnp.einsum("la,lad->ld", ln_b[:, 0], wq)[:, None] * scale
+        wout = stacks["wout"].astype(jnp.float32)       # (L, D, H)
+        bout = stacks["bout"].astype(jnp.float32)       # (L, 1, H)
+        out["cpl_in_c"] = jnp.einsum("ldh,lhk->ldk", wout, w_in[:, xe:])
+        out["cpl_in_b"] = (b_in + jnp.einsum(
+            "lh,lhk->lk", bout[:, 0], w_in[:, xe:]))[:, None]
+    else:
+        out["cpl_in_c"] = w_in[:, xe:]
+        out["cpl_in_b"] = b_in[:, None] if b_in.ndim == 2 else b_in
+    dscale = jnp.exp(-stacks["an_logscale"].astype(jnp.float32)[:, 0])  # (L, LAT)
+    lu_w = stacks["lu_w"].astype(jnp.float32)           # (L, LAT, LAT)
+    out["lu_w_f"] = lu_w * dscale[:, None, :]
+    shift_d = stacks["an_shift"].astype(jnp.float32)[:, 0] * dscale
+    out["lu_b"] = -jnp.einsum("lj,lij->li", shift_d, lu_w)[:, None]
+    out["lu_ldj_f"] = (stacks["lu_ldj"].astype(jnp.float32)
+                       + jnp.sum(-stacks["an_logscale"].astype(jnp.float32),
+                                 axis=(1, 2)))
+    return out
+
+
+def folded_scan_core(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
+                     extra: Optional[jnp.ndarray], folded: dict, *,
+                     nonlin, dtype=None, remat: bool = True,
+                     unroll: int = 1, eps_affine: float = 1e-8):
+    """The fold_stacks math as a DIFFERENTIABLE lax.scan — the training-path
+    (and non-TPU eval) counterpart of the Pallas megakernel.
+
+    Same algebra as _kernel: the attention out-projection is folded into the
+    coupling input matmul and ActNorm into the LinearLU matmul, cutting the
+    per-layer FLOPs ~15% in BOTH the forward and the backward (XLA never
+    reassociates matmul chains itself). Gradients flow through the hoisted
+    fold einsums back to the raw parameters — exact chain rule.
+
+    dtype=bf16 reproduces the kernel's mixed-precision policy (bf16 matmuls,
+    f32 accumulation/stats/ldj); dtype=None is pure f32 (exact algebra vs
+    the unfolded scan — see test_fold_stacks_algebra_matches_scan_core).
+    """
+    n_cpl = folded["n_cpl"]
+    has_attn = folded.get("pre") is not None
+    split = x.shape[-1] // 2
+    xs = {k: v for k, v in folded.items() if k != "n_cpl" and v is not None}
+
+    def cast(a):
+        return a.astype(dtype) if dtype is not None else a
+
+    def lin(h, wb):
+        w, b = wb
+        return (jnp.dot(h, cast(w), preferred_element_type=jnp.float32)
+                + b.astype(jnp.float32))
+
+    def res_mlp(h_first, pairs, n_total):
+        """Hidden+out chain given the first post-gelu activation (bf16)."""
+        h = h_first
+        residual = h
+        for k, idx in enumerate(range(1, n_total - 1)):
+            if (idx - 1) % 2 == 0:
+                residual = h
+                h = cast(nonlin(lin(h, pairs[k])))
+            else:
+                h = cast(nonlin(residual.astype(jnp.float32)
+                                + lin(h, pairs[k])))
+        return lin(h, pairs[n_total - 2])
+
+    ctx_c = cast(context)
+
+    def body(carry, st):
+        h, acc = carry
+        x1 = h[..., :split]
+        x2 = h[..., split:]
+        x1c = cast(x1)
+        x1e = (jnp.concatenate([x1c, cast(extra)], -1)
+               if extra is not None else x1c)
+        if has_attn:
+            pre = st["pre"]
+            q_in = cast(nonlin(lin(x1c, pre[0])))
+            q_in = res_mlp(q_in, pre[1:], len(pre))
+            mean = jnp.mean(q_in, axis=-1, keepdims=True)
+            var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
+            qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
+            q = (jnp.dot(cast(qn), cast(st["wq_f"]),
+                         preferred_element_type=jnp.float32)
+                 + st["bq_f"][0].astype(jnp.float32))
+            kv = jnp.dot(ctx_c, cast(st["wkv"]),
+                         preferred_element_type=jnp.float32)
+            d = q.shape[-1]
+            k, v = kv[..., :d], kv[..., d:]
+            s = jnp.einsum("bnd,bmd->bnm", cast(q), cast(k),
+                           preferred_element_type=jnp.float32)
+            e = jnp.exp(s - jax.lax.stop_gradient(
+                jnp.max(s, axis=-1, keepdims=True)))
+            a = jnp.einsum("bnm,bmd->bnd", cast(e), cast(v),
+                           preferred_element_type=jnp.float32)
+            a = a / jnp.sum(e, axis=-1, keepdims=True)
+            from jax.ad_checkpoint import checkpoint_name
+            cond_op = cast(checkpoint_name(a, "attn_emb"))
+        else:
+            cond_op = ctx_c
+        acc_in = (jnp.dot(x1e, cast(st["cpl_in_xe"]),
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(cond_op, cast(st["cpl_in_c"]),
+                            preferred_element_type=jnp.float32)
+                  + st["cpl_in_b"][0].astype(jnp.float32))
+        stt = res_mlp(cast(nonlin(acc_in)), st["cpl_rest"], n_cpl)
+        half = stt.shape[-1] // 2
+        sc = (2.0 * jax.nn.sigmoid(stt[..., :half]) - 1.0) \
+            * (1.0 - eps_affine) + 1.0
+        y2 = x2 * sc + stt[..., half:]
+        acc = acc + jnp.sum(jnp.log(sc), axis=-1) + st["lu_ldj_f"]
+        y = jnp.concatenate([x1, y2], axis=-1)
+        h = (jnp.einsum("bnj,ij->bni", cast(y), cast(st["lu_w_f"]),
+                        preferred_element_type=jnp.float32)
+             + st["lu_b"][0].astype(jnp.float32))
+        return (h, acc), None
+
+    if remat:
+        body = jax.checkpoint(
+            body, prevent_cse=False,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_emb"))
+    (x, ldj), _ = jax.lax.scan(body, (x, ldj), xs, unroll=unroll)
+    return x, ldj
 
 
 def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
@@ -158,17 +336,16 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
                       interpret: bool = False):
     """Run all stacked layers over (x, ldj).
 
-    stacks: {"pre": [(w,b)...] each (L,i,o)/(L,o), "ln_scale","ln_bias",
-    "wq","wkv","wout","bout", "cpl": [(w,b)...], "an_shift","an_logscale"
-    each (L,1,LAT), "lu_w" (L,LAT,LAT), "lu_ldj" (L,)}. Returns (x, ldj).
+    `stacks` is the fold_stacks() output: {"pre": [(w,b)...] each
+    (L,i,o)/(L,o), "wq_f","bq_f","wkv", "cpl_in_xe","cpl_in_c","cpl_in_b",
+    "cpl_rest": [(w,b)...], "n_cpl", "lu_w_f" (L,LAT,LAT), "lu_b",
+    "lu_ldj_f" (L,)}. Returns (x, ldj).
     """
     b, n, lat = x.shape
-    n_layers = stacks["lu_ldj"].shape[0]
+    n_layers = stacks["lu_ldj_f"].shape[0]
     nc, e_dim = context.shape[1], context.shape[2]
     split = lat // 2
-    has_attn = "wq" in stacks
-    d = stacks["wq"].shape[-1] if has_attn else 1
-    scale = d ** -0.5
+    has_attn = "wq_f" in stacks and stacks["wq_f"] is not None
     has_extra = extra is not None
 
     qb = _Q_BLOCK if n % _Q_BLOCK == 0 else math.gcd(n, _Q_BLOCK)
@@ -208,23 +385,22 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
         for w, bb in stacks["pre"]:
             add_stacked(w)
             add_stacked(bb)
-        add_stacked(stacks["ln_scale"])
-        add_stacked(stacks["ln_bias"])
-        add_stacked(stacks["wq"])
+        add_stacked(stacks["wq_f"])
+        add_stacked(stacks["bq_f"], jnp.float32)
         add_stacked(stacks["wkv"])
-        add_stacked(stacks["wout"])
-        add_stacked(stacks["bout"])
-    for w, bb in stacks["cpl"]:
+    add_stacked(stacks["cpl_in_xe"])
+    add_stacked(stacks["cpl_in_c"])
+    add_stacked(stacks["cpl_in_b"], jnp.float32)
+    for w, bb in stacks["cpl_rest"]:
         add_stacked(w)
         add_stacked(bb)
-    add_stacked(stacks["an_shift"], jnp.float32)
-    add_stacked(stacks["an_logscale"], jnp.float32)
-    add_stacked(stacks["lu_w"])
-    add_stacked(stacks["lu_ldj"].reshape(n_layers, 1, 1), jnp.float32)
+    add_stacked(stacks["lu_w_f"])
+    add_stacked(stacks["lu_b"], jnp.float32)
+    add_stacked(stacks["lu_ldj_f"].reshape(n_layers, 1, 1), jnp.float32)
 
     kernel = functools.partial(
-        _kernel, n_pre=len(stacks.get("pre", ())), n_cpl=len(stacks["cpl"]),
-        has_extra=has_extra, has_attn=has_attn, split=split, scale=scale,
+        _kernel, n_pre=len(stacks["pre"] or ()), n_cpl=stacks["n_cpl"],
+        has_extra=has_extra, has_attn=has_attn, split=split,
         eps_affine=eps_affine)
 
     out_x, out_ldj = pl.pallas_call(

@@ -59,3 +59,27 @@ def test_cli_train_evaluate_sample_roundtrip(tmp_path):
     main(["sample", "--checkpoint", ckpt, "--n-points", "128",
           "--out", out, "--n-items", "4"])
     assert os.path.exists(out + ".npz")
+
+
+def test_cli_pack_then_train_on_packed(tmp_path):
+    """`flowcompare pack` -> `flowcompare train --data packed`: the native
+    mmap gather loader is the actual training input path (VERDICT item 7;
+    replaces the reference's DataLoader workers, train.py:41-42)."""
+    cfg_path = _write_tiny_yaml(tmp_path / "tiny.yaml")
+    pack = str(tmp_path / "train.fcpack")
+    main(["pack", "--config", cfg_path, "--out", pack,
+          "--data", "synthetic", "--n-items", "12"])
+    assert os.path.exists(pack)
+
+    from flowcompare_tpu.data import PackedVoxelDataset
+    ds = PackedVoxelDataset(pack, batch_size=4)
+    assert ds.n_items == 12
+
+    save_dir = str(tmp_path / "run_packed")
+    main(["train", "--config", cfg_path, "--save-dir", save_dir,
+          "--run-name", "tp", "--steps", "3",
+          "--data", "packed", "--packed-file", pack])
+    lines = [json.loads(l) for l in
+             open(os.path.join(save_dir, "metrics.jsonl"))]
+    assert len(lines) == 3
+    assert all("loss" in l for l in lines)

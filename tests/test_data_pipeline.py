@@ -152,3 +152,27 @@ def test_prefetched_dataset_matches_direct():
     assert len(direct) == len(fetched)
     for a, b in zip(direct, fetched):
         np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_batch_iterator_reshuffles_each_epoch():
+    """DataLoader(shuffle=True) parity: a fresh permutation every epoch
+    (reference train.py:41). Epoch folds into the shuffle seed."""
+
+    class _Idx:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return (np.asarray([i], np.int64),)
+
+    ds = _Idx()
+
+    def order(epoch):
+        return [int(b[0][j, 0]) for b in
+                batch_iterator(ds, 4, shuffle=True, seed=0, epoch=epoch)
+                for j in range(4)]
+
+    e0, e1 = order(0), order(1)
+    assert sorted(e0) == sorted(e1) == list(range(32))
+    assert e0 != e1  # fresh permutation per epoch
+    assert order(0) == e0  # still deterministic given (seed, epoch)

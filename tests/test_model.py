@@ -176,3 +176,21 @@ def test_paconv_embedder_path():
     loss, log_prob, _, _ = inner_loop(
         model, params, state, batch, rng=jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_jit_static_flags_frozen_after_init():
+    """remat/fused_layers/compute_dtype are closed over by compiled eval
+    functions (eval/evaluate.py) — mutating them post-init must raise, and
+    with_options must hand back a correctly reconfigured model."""
+    import pytest
+    cfg = tiny_config()
+    model = FlowCompareModel(cfg, remat=False)
+    assert model.remat is False
+    for flag, val in (("remat", True), ("fused_layers", True),
+                      ("compute_dtype", jnp.bfloat16)):
+        with pytest.raises(AttributeError, match="jit-static"):
+            setattr(model, flag, val)
+    fast = model.with_options(fused_layers=True, compute_dtype="bfloat16")
+    assert fast.fused_layers and fast.compute_dtype == jnp.bfloat16
+    assert fast.remat is False  # inherited
+    assert model.fused_layers is False  # original untouched

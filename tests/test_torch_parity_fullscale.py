@@ -1,0 +1,145 @@
+"""FULL-SCALE golden parity: the real dulcet-universe graph (115 flow
+layers, latent 300, hidden 512, attn 512) vs the actual reference, random
+weights, CPU, f32.
+
+The toy-scale tests (test_torch_parity.py) pin per-transform correctness;
+this pins the ERROR GROWTH LAW across 115 accumulated layers against the
+reference README's +-0.01 nats reproduction budget
+(/root/reference/README.md:47-57, model_initialization.py:141-161).
+
+Deterministic pieces compared at full scale on a (2, 1024) batch:
+  * DGCNN embedder output
+  * augmenter ConditionalNormal params (mean/scale) — pins the stochastic
+    augment's distribution
+  * transforms[1:] forward: output latents + per-point log_prob
+The assertion is in the metric that matters: |Delta nats| < 0.01.
+"""
+
+import gc
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from flowcompare_tpu.compat import convert_checkpoint
+from flowcompare_tpu.configs import get_config
+from flowcompare_tpu.flows.distributions import standard_normal_logprob
+from flowcompare_tpu.model import LOG2E, FlowCompareModel
+
+from reference_oracle import build_reference_oracle, teardown_reference_oracle
+
+
+@pytest.mark.slow
+def test_fullscale_dulcet_universe_parity(tmp_path_factory):
+    root = tmp_path_factory.mktemp("refshim_fullscale")
+    teardown_reference_oracle("")
+    mi = build_reference_oracle(root)
+    try:
+        cfg = get_config("dulcet-universe")
+        torch.manual_seed(7)
+        models_dict = mi.initialize_flow(cfg, device="cpu", mode="test")
+        flow_t, emb_t = models_dict["flow"], models_dict["input_embedder"]
+        save_np = {
+            "flow": {k: v.detach().numpy()
+                     for k, v in flow_t.state_dict().items()},
+            "input_embedder": {k: v.detach().numpy()
+                               for k, v in emb_t.state_dict().items()},
+        }
+        params, state = convert_checkpoint(save_np, cfg)
+        del save_np
+        gc.collect()
+        model = FlowCompareModel(cfg, remat=False)
+
+        rng = np.random.default_rng(70)
+        B, N = 2, cfg["sample_size"]
+        x0 = rng.normal(size=(B, cfg["n_samples_context"], 6)
+                        ).astype(np.float32)
+        z = rng.normal(size=(B, N, cfg["latent_dim"])).astype(np.float32)
+        ctx = rng.normal(size=(B, N, cfg["input_embedding_dim"])
+                         ).astype(np.float32)
+        extra = rng.normal(size=(B, N, 1)).astype(np.float32)
+
+        # ---- embedder at full scale (1250 context points, k=40 kNN graph)
+        with torch.no_grad():
+            ref_emb = emb_t(torch.from_numpy(x0)).numpy()
+        our_emb, _ = model.embed(params, state, jnp.asarray(x0),
+                                 training=False)
+        np.testing.assert_allclose(np.asarray(our_emb), ref_emb,
+                                   atol=2e-3, rtol=1e-3)
+
+        # ---- augmenter ConditionalNormal params at full scale
+        aug_t = flow_t.transforms[0]
+        with torch.no_grad():
+            xt = torch.from_numpy(z[..., :6].copy())
+            ct = torch.from_numpy(ctx)
+            et = torch.from_numpy(extra)
+            a = aug_t.attn(aug_t.pre_attn_mlp(xt), ct)
+            a = torch.cat((et, a), dim=-1)
+            dist = aug_t.augment.noise_dist.cond_dist(torch.cat((xt, a), -1))
+            ref_mean, ref_scale = dist.loc.numpy(), dist.scale.numpy()
+        from flowcompare_tpu.core.attention import apply_cross_attention
+        from flowcompare_tpu.core.mlp import apply_mlp
+        from flowcompare_tpu.flows.distributions import (
+            conditional_normal_params)
+        pa = params["augmenter"]
+        mlp_out = apply_mlp(pa["pre_attn_mlp"], jnp.asarray(z[..., :6]),
+                            model.nonlin)
+        a_j = apply_cross_attention(pa["attn"], mlp_out, jnp.asarray(ctx))
+        a_j = jnp.concatenate((jnp.asarray(extra), a_j), axis=-1)
+        mean, scale = conditional_normal_params(
+            pa["augment"]["net"],
+            jnp.concatenate((jnp.asarray(z[..., :6]), a_j), -1), model.nonlin)
+        np.testing.assert_allclose(np.asarray(mean), ref_mean,
+                                   atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(scale), ref_scale,
+                                   atol=2e-3, rtol=1e-3)
+
+        # ---- the 115-layer deterministic core: output + log_prob
+        with torch.no_grad():
+            zt = torch.from_numpy(z)
+            ldj_t = torch.zeros(zt.shape[:-1])
+            for tr in flow_t.transforms[1:]:
+                zt, ldj = tr(zt, context=torch.from_numpy(ctx),
+                             extra_context=torch.from_numpy(extra))
+                ldj_t = ldj_t + ldj
+            ref_lp = (ldj_t + flow_t.base_dist.log_prob(zt)).numpy()
+            ref_out = zt.numpy()
+        del flow_t, emb_t, models_dict
+        gc.collect()
+
+        h = jnp.asarray(z)
+        acc = jnp.zeros(h.shape[:-1], jnp.float32)
+        ctx_j, extra_j = jnp.asarray(ctx), jnp.asarray(extra)
+        prepared = model._prepare_layers(params["layers"])
+
+        @jax.jit
+        def core(prepared, final_block, h, acc):
+            def body(carry, lp):
+                h, acc = carry
+                h, l = model._layer_fwd(lp, h, ctx_j, extra_j)
+                return (h, acc + l), None
+
+            (h, acc), _ = jax.lax.scan(body, (h, acc), prepared)
+            h, l = model._block_fwd(final_block, h, ctx_j, extra_j)
+            return h, acc + l + standard_normal_logprob(h)
+
+        our_out, our_lp = core(prepared, params["final_block"], h, acc)
+        our_out, our_lp = np.asarray(our_out), np.asarray(our_lp)
+
+        # error growth across 115 layers: output latents stay tight...
+        np.testing.assert_allclose(our_out, ref_out, atol=5e-3, rtol=1e-2)
+        # ...and the metric that matters lands far inside the nats budget
+        delta_nats_mean = (abs(float(np.mean(our_lp)) - float(np.mean(ref_lp)))
+                           * LOG2E / cfg["input_dim"])
+        delta_nats_worst = (float(np.max(np.abs(our_lp - ref_lp)))
+                            * LOG2E / cfg["input_dim"])
+        print(f"full-scale parity: mean |dnats| = {delta_nats_mean:.2e}, "
+              f"worst per-point = {delta_nats_worst:.2e}")
+        assert delta_nats_mean < 0.01, delta_nats_mean
+        assert delta_nats_worst < 0.05, delta_nats_worst
+    finally:
+        teardown_reference_oracle(str(root))

@@ -1,0 +1,77 @@
+"""Full-scale training-step benchmark (the reference's actual workload:
+train.py:91-173 hot loop, A100-days scale).
+
+Measures ms/step of the jitted train step (fwd + bwd + clip + Adam +
+plateau in ONE program) on the flagship dulcet-universe config at the
+reference batch (B=20, 1024/1250 points), bf16 compute + f32 ldj, with the
+folded scan core on and off. Writes save/bench/bench_train.json.
+
+Usage: python tools/bench_train.py [--steps N] [--no-unfolded]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def measure(folded: bool, n_steps: int = 5) -> dict:
+    import flowcompare_tpu as fc
+    from flowcompare_tpu.train.trainer import init_train_state, make_train_step
+
+    cfg = fc.get_config("dulcet-universe")
+    cfg["compute_dtype"] = "bfloat16"
+    cfg["folded_scan"] = folded
+    model = fc.FlowCompareModel(cfg)
+    state = init_train_state(model, jax.random.PRNGKey(0))
+    step = make_train_step(model)
+    bsz = cfg["batch_size"]
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+
+    def batch(i):  # unique inputs: the tunnel memoizes identical calls
+        return (
+            jax.random.normal(jax.random.fold_in(ks[0], i),
+                              (bsz, cfg["n_samples_context"], 6)),
+            jax.random.normal(jax.random.fold_in(ks[1], i),
+                              (bsz, cfg["sample_size"], 6)),
+            jax.random.normal(jax.random.fold_in(ks[2], i), (bsz, 1)),
+        )
+
+    for w in range(2):  # compile + executable-load warmups
+        state, m = step(state, batch(100 + w))
+        float(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, m = step(state, batch(i))
+        float(m["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+    return {"folded_scan": folded, "ms_per_step": round(1000 * dt, 1),
+            "points_per_sec": round(bsz * cfg["sample_size"] / dt, 1),
+            "loss_finite": bool(jax.numpy.isfinite(m["loss"]))}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--no-unfolded", action="store_true")
+    args = ap.parse_args()
+    results = {"backend": jax.default_backend(),
+               "config": "dulcet-universe bf16 B=20",
+               "folded": measure(True, args.steps)}
+    if not args.no_unfolded:
+        results["unfolded"] = measure(False, args.steps)
+    outdir = os.path.join(ROOT, "save", "bench")
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "bench_train.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
