@@ -51,22 +51,30 @@ def apply_mlp(params: dict, x: jnp.ndarray, nonlin: Callable,
     return apply_linear(params["out"], x)
 
 
-def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """Erf-based GELU (torch.nn.GELU's default semantics).
+# GELU in logit space: 0.5*(1+erf(x/sqrt2)) == sigmoid(p(x)) for the odd
+# function p = logit(Phi_e); p is fit by x*R(x^2) (degree 4 in x^2, weighted
+# minimax, x clamped to [-5.5, 5.5]; p(5.5)=20.7 so the clamped tail errs by
+# <2e-8 even at |x|=20). Max abs error 3.2e-6 in f32 — orders below parity
+# tolerances and bf16 ulp. WHY this form: TPU's VPU executes exp as a fast
+# hardware op, so sigmoid costs ~2 ops and the whole GELU ~10, vs ~15 for
+# the A&S erf rational and ~19 for an fma-only degree-14 polynomial (both
+# measured SLOWER in the flow megakernel: 73.5 / 82.7 ms vs 66 ms target).
+_GELU_LOGIT_POLY = (
+    1.59566428e+00, 7.29274163e-02, -2.46016726e-04, -6.16248074e-05,
+    2.25448288e-06,
+)
 
-    XLA's Erf lowering costs ~57 ms/step on the 115-layer stack (measured,
-    v5e, B=20) — by far the largest single VPU expense. This uses the
-    Abramowitz & Stegun 7.1.26 rational approximation (max abs error
-    1.5e-7, orders below both the f32 parity tolerances and bf16 ulp)
-    built on the TPU's fast exp unit instead: ~10 cheap VPU ops."""
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Erf-based GELU (torch.nn.GELU's default semantics), via a fitted
+    logit-space polynomial + the TPU's fast sigmoid/exp (see above)."""
     xf = x.astype(jnp.float32)
-    a = jnp.abs(xf) * 0.7071067811865476
-    t = 1.0 / (1.0 + 0.3275911 * a)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    erf_abs = 1.0 - poly * jnp.exp(-a * a)
-    erf = jnp.sign(xf) * erf_abs
-    return (0.5 * xf * (1.0 + erf)).astype(x.dtype)
+    xc = jnp.clip(xf, -5.5, 5.5)
+    u = xc * xc
+    p = jnp.float32(_GELU_LOGIT_POLY[-1])
+    for c in _GELU_LOGIT_POLY[-2::-1]:
+        p = p * u + c
+    return (xf * jax.nn.sigmoid(p * xc)).astype(x.dtype)
 
 
 def gelu_xla(x: jnp.ndarray) -> jnp.ndarray:

@@ -473,8 +473,8 @@ class FlowCompareModel:
 
         if self._can_fuse_layers():
             from .ops.flow_layer_pallas import (
-                append_final_block, build_layer_stacks, fold_stacks,
-                fused_flow_layers)
+                append_final_block, build_layer_stacks, fold_stacks)
+            from .ops.flow_layer_vjp_pallas import fused_flow_layers_trainable
             stacks = build_layer_stacks(self, layers)
             # the final coupling block rides the same kernel as layer
             # n_flow_layers with identity ActNorm/LinearLU appended
@@ -484,7 +484,12 @@ class FlowCompareModel:
                 stacks, split=self.latent_dim // 2,
                 extra_dim=(extra_context.shape[-1]
                            if extra_context is not None else 0))
-            x, ldj = fused_flow_layers(x, ldj, context, extra_context, stacks)
+            # custom-vjp wrapper: the primal IS the eval megakernel; under
+            # jax.grad the segmented backward megakernel runs instead of
+            # XLA autodiff (ops/flow_layer_vjp_pallas). Gradients reach the
+            # raw params through the fold_stacks einsums above.
+            x, ldj = fused_flow_layers_trainable(
+                x, ldj, context, extra_context, stacks)
             return ldj + standard_normal_logprob(x)
 
         if self._can_fold_scan():

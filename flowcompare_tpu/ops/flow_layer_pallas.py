@@ -36,15 +36,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _Q_BLOCK = 1024
+# Independent row chunks per grid step: their op chains carry no data
+# dependencies, so Mosaic can overlap one chunk's VPU work (GELU, softmax,
+# log/sigmoid) with another's MXU matmuls. 1 = off.
+_ROW_CHUNKS = 2
+
+# Trace-time ablation switches for perf attribution (tools/ablate_kernel.py).
+# Empty in production; members: "nogelu", "noexp", "noattn", "nolu",
+# "nocpl_hidden". Consulted when the kernel is TRACED, so set before jit.
+ABLATE: frozenset = frozenset()
 
 
 def _gelu(x):
-    """Fast erf GELU (core/mlp.gelu), f32 in/out."""
-    a = jnp.abs(x) * 0.7071067811865476
-    t = 1.0 / (1.0 + 0.3275911 * a)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return 0.5 * x * (1.0 + jnp.sign(x) * (1.0 - poly * jnp.exp(-a * a)))
+    """Fast erf GELU — core/mlp.gelu's logit-space form (shared
+    coefficients; sigmoid rides the TPU's fast exp unit), f32 in/out."""
+    if "nogelu" in ABLATE:
+        return x * 1.0000001  # keep a flop so XLA can't fold the chain away
+    from ..core.mlp import _GELU_LOGIT_POLY
+    xc = jnp.clip(x, -5.5, 5.5)
+    u = xc * xc
+    p = jnp.float32(_GELU_LOGIT_POLY[-1])
+    for c in _GELU_LOGIT_POLY[-2::-1]:
+        p = p * u + c
+    return x * jax.nn.sigmoid(p * xc)
 
 
 def _mlp_rest(h, weights, biases, n_total):
@@ -58,13 +72,14 @@ def _mlp_rest(h, weights, biases, n_total):
         return y + biases[i][0][0].astype(jnp.float32)
 
     residual = h
-    for k, idx in enumerate(range(1, n_total - 1)):
-        if (idx - 1) % 2 == 0:
-            residual = h
-            h = _gelu(lin(h, k)).astype(jnp.bfloat16)
-        else:
-            h = _gelu(residual.astype(jnp.float32) + lin(h, k)).astype(
-                jnp.bfloat16)
+    if "nocpl_hidden" not in ABLATE:
+        for k, idx in enumerate(range(1, n_total - 1)):
+            if (idx - 1) % 2 == 0:
+                residual = h
+                h = _gelu(lin(h, k)).astype(jnp.bfloat16)
+            else:
+                h = _gelu(residual.astype(jnp.float32) + lin(h, k)).astype(
+                    jnp.bfloat16)
     return lin(h, n_total - 2)  # f32 out
 
 
@@ -79,7 +94,7 @@ def _mlp(h, weights, biases):
 
 
 def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
-            split: int, eps_affine: float):
+            split: int, eps_affine: float, save_every: Optional[int] = None):
     """One (layer, batch-item, query-block) step, ALGEBRAICALLY FOLDED:
 
     * LayerNorm scale/bias and the 1/sqrt(d) softmax scale are pre-folded
@@ -113,71 +128,104 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
     lu_ldj = next(it)         # (1, 1, 1) f32 (LU + ActNorm ldj)
     x_out = next(it)
     ldj_out = next(it)
+    saves_out = next(it) if save_every is not None else None
 
     x = x_ref[0]                                   # (QB, LAT) f32
-    x1 = x[:, :split]
-    x2 = x[:, split:]
-    x1b = x1.astype(jnp.bfloat16)
-    if has_extra:
-        x1e = jnp.concatenate([x1b, extra_ref[0]], axis=-1)
-    else:
-        x1e = x1b
+    if saves_out is not None:
+        # checkpoint the layer-entry carry every `save_every` layers for the
+        # backward megakernel (flow_layer_vjp_pallas); the block index map
+        # is l // save_every, so non-multiple layers leave the buffer as the
+        # segment head wrote it
+        @pl.when(pl.program_id(0) % save_every == 0)
+        def _():
+            saves_out[0, 0] = x
 
     if has_attn:
-        # pre-attention MLP + LayerNorm (f32 stats; scale/bias live in wq_f)
-        q_in = _mlp(x1b, [(w[0],) for w, _ in pre_w],
-                    [(b[0],) for _, b in pre_w])
-        mean = jnp.mean(q_in, axis=-1, keepdims=True)
-        var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
-        qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
-        q = (jnp.dot(qn.astype(jnp.bfloat16), wq_f[0],
-                     preferred_element_type=jnp.float32)
-             + bq_f[0][0].astype(jnp.float32))     # (QB, D), 1/sqrt(d) folded
-
-        # attention over the full context block
+        # kv depends only on ctx — shared across row chunks
         ctx = ctx_ref[0]                           # (Nc, E)
         kv = jnp.dot(ctx, wkv[0], preferred_element_type=jnp.float32)
-        d = q.shape[-1]
+        d = wq_f[0].shape[-1]
         k = kv[:, :d]
         v = kv[:, d:]
-        s = jnp.dot(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16).T,
-                    preferred_element_type=jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        a = jnp.dot(e.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-        a = a / jnp.sum(e, axis=-1, keepdims=True)  # normalize AFTER pv
-        cond_op = a.astype(jnp.bfloat16)            # (QB, D)
-    else:
-        # global conditioner: the broadcast embedding IS the context
-        cond_op = ctx_ref[0]                       # (QB, E) bf16
+        # ones-column rides the (free) 64->128 lane padding of v: the
+        # softmax denominator comes out of the SAME matmul as e@v, replacing
+        # a VPU cross-lane reduction over (QB, Nc) with MXU work
+        v1 = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], -1)
+        kb = k.astype(jnp.bfloat16).T
+        v1b = v1.astype(jnp.bfloat16)
 
-    # coupling MLP input layer as a folded two-matmul sum
-    acc = jnp.dot(x1e, cpl_in_xe[0], preferred_element_type=jnp.float32)
-    acc = acc + jnp.dot(cond_op, cpl_in_c[0],
+    def run_rows(rows):
+        """Whole layer body on a row slice. The caller may invoke this on
+        independent row chunks: their op chains have no data dependencies,
+        which lets Mosaic's scheduler overlap one chunk's VPU tail (GELU,
+        softmax, log/sigmoid) with the other's MXU matmuls."""
+        xr = x[rows]
+        x1 = xr[:, :split]
+        x2 = xr[:, split:]
+        x1b = x1.astype(jnp.bfloat16)
+        if has_extra:
+            x1e = jnp.concatenate([x1b, extra_ref[0][rows]], axis=-1)
+        else:
+            x1e = x1b
+
+        if has_attn and "noattn" not in ABLATE:
+            # pre-attention MLP + LayerNorm (f32 stats; scale/bias in wq_f)
+            q_in = _mlp(x1b, [(w[0],) for w, _ in pre_w],
+                        [(b[0],) for _, b in pre_w])
+            mean = jnp.mean(q_in, axis=-1, keepdims=True)
+            var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
+            qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
+            q = (jnp.dot(qn.astype(jnp.bfloat16), wq_f[0],
+                         preferred_element_type=jnp.float32)
+                 + bq_f[0][0].astype(jnp.float32))  # 1/sqrt(d) folded
+            s = jnp.dot(q.astype(jnp.bfloat16), kb,
                         preferred_element_type=jnp.float32)
-    h = _gelu(acc + cpl_in_b[0][0]).astype(jnp.bfloat16)
-    st = _mlp_rest(h, [(w[0],) for w, _ in cpl_w],
-                   [(b[0],) for _, b in cpl_w], n_cpl)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = (s - m) if "noexp" in ABLATE else jnp.exp(s - m)
+            av = jnp.dot(e.astype(jnp.bfloat16), v1b,
+                         preferred_element_type=jnp.float32)
+            a = av[:, :d] / av[:, d:d + 1]          # normalize AFTER pv
+            cond_op = a.astype(jnp.bfloat16)        # (rows, D)
+        elif has_attn:
+            cond_op = x1b[:, :wkv[0].shape[-1] - wq_f[0].shape[-1]]
+        else:
+            # global conditioner: the broadcast embedding IS the context
+            cond_op = ctx_ref[0][rows]              # (rows, E) bf16
 
-    # sigmoid-scale affine (reference affine_coupling sigmoid variant)
-    x2_size = st.shape[-1] // 2
-    s_raw = st[:, :x2_size]
-    t = st[:, x2_size:]
-    sc = (2.0 * jax.nn.sigmoid(s_raw) - 1.0) * (1.0 - eps_affine) + 1.0
-    y2 = x2 * sc + t
-    ldj_add = jnp.sum(jnp.log(sc), axis=-1)
+        # coupling MLP input layer as a folded two-matmul sum
+        acc = jnp.dot(x1e, cpl_in_xe[0], preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(cond_op, cpl_in_c[0],
+                            preferred_element_type=jnp.float32)
+        h = _gelu(acc + cpl_in_b[0][0]).astype(jnp.bfloat16)
+        st = _mlp_rest(h, [(w[0],) for w, _ in cpl_w],
+                       [(b[0],) for _, b in cpl_w], n_cpl)
 
-    y = jnp.concatenate([x1, y2], axis=-1)
+        # sigmoid-scale affine (reference affine_coupling sigmoid variant)
+        x2_size = st.shape[-1] // 2
+        s_raw = st[:, :x2_size]
+        t = st[:, x2_size:]
+        sc = (2.0 * jax.nn.sigmoid(s_raw) - 1.0) * (1.0 - eps_affine) + 1.0
+        y2 = x2 * sc + t
+        ldj_add = jnp.sum(jnp.log(sc), axis=-1)
 
-    # ActNorm-folded LinearLU
-    z = (jnp.dot(y.astype(jnp.bfloat16), lu_w[0].T,
-                 preferred_element_type=jnp.float32)
-         + lu_b[0][0])
-    ldj_add = ldj_add + lu_ldj[0, 0, 0]
+        y = jnp.concatenate([x1, y2], axis=-1)
 
-    x_out[0] = z
-    ldj_out[0] = ldj_ref[0] + ldj_add[:, None]
+        # ActNorm-folded LinearLU
+        if "nolu" in ABLATE:
+            z = y + lu_b[0][0]
+        else:
+            z = (jnp.dot(y.astype(jnp.bfloat16), lu_w[0].T,
+                         preferred_element_type=jnp.float32)
+                 + lu_b[0][0])
+        ldj_add = ldj_add + lu_ldj[0, 0, 0]
+        x_out[0, rows] = z
+        ldj_out[0, rows] = ldj_ref[0, rows] + ldj_add[:, None]
+
+    n_rows = x.shape[0]
+    n_chunks = _ROW_CHUNKS if n_rows % _ROW_CHUNKS == 0 else 1
+    step = n_rows // n_chunks
+    for c in range(n_chunks):
+        run_rows(slice(c * step, (c + 1) * step))
 
 
 def fold_stacks(stacks: dict, *, split: int, extra_dim: int) -> dict:
@@ -333,13 +381,15 @@ def folded_scan_core(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
 def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
                       extra: Optional[jnp.ndarray], stacks: dict, *,
                       eps_affine: float = 1e-8,
+                      save_every: Optional[int] = None,
                       interpret: bool = False):
     """Run all stacked layers over (x, ldj).
 
     `stacks` is the fold_stacks() output: {"pre": [(w,b)...] each
     (L,i,o)/(L,o), "wq_f","bq_f","wkv", "cpl_in_xe","cpl_in_c","cpl_in_b",
     "cpl_rest": [(w,b)...], "n_cpl", "lu_w_f" (L,LAT,LAT), "lu_b",
-    "lu_ldj_f" (L,)}. Returns (x, ldj).
+    "lu_ldj_f" (L,)}. Returns (x, ldj), plus the (L/save_every, B, N, LAT)
+    layer-entry checkpoints when save_every is set (training backward).
     """
     b, n, lat = x.shape
     n_layers = stacks["lu_ldj_f"].shape[0]
@@ -401,20 +451,31 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
     kernel = functools.partial(
         _kernel, n_pre=len(stacks["pre"] or ()), n_cpl=stacks["n_cpl"],
         has_extra=has_extra, has_attn=has_attn, split=split,
-        eps_affine=eps_affine)
+        eps_affine=eps_affine, save_every=save_every)
 
-    out_x, out_ldj = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, qb, lat), lambda l, bi, nb: (bi, nb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, qb, 1), lambda l, bi, nb: (bi, nb, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, n, lat), jnp.float32),
+                 jax.ShapeDtypeStruct((b, n, 1), jnp.float32)]
+    if save_every is not None:
+        n_saves = -(-n_layers // save_every)
+        out_specs.append(pl.BlockSpec(
+            (1, 1, qb, lat),
+            lambda l, bi, nb: (l // save_every, bi, nb, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_saves, b, n, lat), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, qb, lat), lambda l, bi, nb: (bi, nb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qb, 1), lambda l, bi, nb: (bi, nb, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((b, n, lat), jnp.float32),
-                   jax.ShapeDtypeStruct((b, n, 1), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         input_output_aliases={0: 0, 1: 1},
         # v5e has far more physical VMEM than the compiler's conservative
         # 16MB scoped default; the raised cap admits full-N query blocks
@@ -422,6 +483,9 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
+    if save_every is not None:
+        return outs[0], outs[1][..., 0], outs[2]
+    out_x, out_ldj = outs
     return out_x, out_ldj[..., 0]
 
 

@@ -1,0 +1,487 @@
+"""Differentiable flow-layer megakernel: fused forward + fused backward.
+
+The training step's cost is dominated by the 115-layer flow stack. The XLA
+autodiff path (folded_scan_core + remat) runs its small-shape matmuls at
+~30 TFLOP/s (measured, tools/roofline_probe.py) while the Pallas eval
+megakernel sustains near the ~114 TFLOP/s big-matmul ceiling. This module
+makes the megakernel differentiable so TRAINING gets kernel-rate matmuls:
+
+  * forward: ops/flow_layer_pallas.fused_flow_layers, extended with a
+    checkpoint output — the layer carry x_l is written to HBM every K
+    layers ((L/K, B, N, LAT) f32, ~0.7 GB at K=4 — HBM is the cheap
+    resource here; VMEM is the scarce one).
+  * backward: ONE Pallas kernel over grid (segment, batch-item, query-block)
+    with segments iterated in REVERSE. Each step reloads the segment's
+    saved carry, recomputes the K-layer chain forward in VMEM, then walks
+    the K layers backward calling jax.vjp on the per-layer forward — the
+    per-layer backward math (LayerNorm, softmax, GELU, sigmoid-affine) is
+    derived by autodiff INSIDE the kernel, so it can never drift from the
+    forward. Weight-gradient accumulation rides output blocks indexed by
+    segment: all grid steps of one segment slab are consecutive (segment is
+    the slowest grid axis), so accumulate-on-revisit is well-defined.
+
+The cotangent carry (dx) and the activation carry of the forward use the
+same aliased-block pattern as the eval kernel (HBM round-trip between
+segment slabs, sequential grid guaranteed by TPU lowering).
+
+Reference counterpart: the backward of `/root/reference/train.py:91-130`
+(autograd through the 115-layer module stack); redesigned as two fused
+kernels rather than 345 per-module backward dispatches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .flow_layer_pallas import _gelu, fold_stacks, fused_flow_layers
+
+_QB_BWD = 512  # backward holds a layer's vjp residuals live; 1024-row blocks spill ~112MB of VMEM (OOM on v5e's 128MB)
+
+
+def _pick_segment(n_layers: int, k_max: int = 4) -> int:
+    """Largest checkpoint spacing <= k_max that divides the layer count."""
+    for k in range(k_max, 0, -1):
+        if n_layers % k == 0:
+            return k
+    return 1
+
+
+# --------------------------------------------------------------- layer math
+
+def _layer_fwd_math(wk, x, ctx, extra, *, n_pre, n_cpl, has_attn, has_extra,
+                    split, eps_affine):
+    """One folded flow layer on VALUES (not refs): (x:(QB,LAT) f32) ->
+    (z, ldj_add:(QB,1) f32 — WITHOUT the per-layer lu_ldj constant, whose
+    gradient is handled analytically by the driver). Mirrors
+    flow_layer_pallas._kernel — bf16 matmuls, f32 stats/ldj — but written
+    on arrays so it can be jax.vjp'd inside the backward kernel. Everything
+    stays >=2-D (Mosaic cannot lower scalar/1-D reduction cotangents)."""
+    bf = jnp.bfloat16
+
+    def lin(h, w, b):
+        return (jnp.dot(h, w.astype(bf), preferred_element_type=jnp.float32)
+                + b.astype(jnp.float32))
+
+    def mlp_rest(h, pairs, n_total):
+        residual = h
+        for k, idx in enumerate(range(1, n_total - 1)):
+            w, b = pairs[k]
+            if (idx - 1) % 2 == 0:
+                residual = h
+                h = _gelu(lin(h, w, b)).astype(bf)
+            else:
+                h = _gelu(residual.astype(jnp.float32) + lin(h, w, b)).astype(bf)
+        w, b = pairs[n_total - 2]
+        return lin(h, w, b)
+
+    x1 = x[:, :split]
+    x2 = x[:, split:]
+    x1b = x1.astype(bf)
+    x1e = jnp.concatenate([x1b, extra.astype(bf)], -1) if has_extra else x1b
+
+    if has_attn:
+        w0, b0 = wk["pre"][0]
+        h = _gelu(lin(x1b, w0, b0)).astype(bf)
+        q_in = mlp_rest(h, wk["pre"][1:], n_pre)
+        mean = jnp.mean(q_in, axis=-1, keepdims=True)
+        var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
+        qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
+        q = lin(qn.astype(bf), wk["wq_f"], wk["bq_f"])
+        kv = jnp.dot(ctx.astype(bf), wk["wkv"].astype(bf),
+                     preferred_element_type=jnp.float32)
+        d = q.shape[-1]
+        k_, v_ = kv[:, :d], kv[:, d:]
+        s = jnp.dot(q.astype(bf), k_.astype(bf).T,
+                    preferred_element_type=jnp.float32)
+        m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.exp(s - m)
+        a = jnp.dot(e.astype(bf), v_.astype(bf),
+                    preferred_element_type=jnp.float32)
+        a = a / jnp.sum(e, axis=-1, keepdims=True)
+        cond_op = a.astype(bf)
+    else:
+        cond_op = ctx.astype(bf)
+
+    acc = jnp.dot(x1e, wk["cpl_in_xe"].astype(bf),
+                  preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(cond_op, wk["cpl_in_c"].astype(bf),
+                        preferred_element_type=jnp.float32)
+    h = _gelu(acc + wk["cpl_in_b"].astype(jnp.float32)).astype(bf)
+    st = mlp_rest(h, wk["cpl_rest"], n_cpl)
+
+    x2_size = st.shape[-1] // 2
+    sc = (2.0 * jax.nn.sigmoid(st[:, :x2_size]) - 1.0) * (1.0 - eps_affine) + 1.0
+    y2 = x2 * sc + st[:, x2_size:]
+    ldj_add = jnp.sum(jnp.log(sc), axis=-1, keepdims=True)
+
+    y = jnp.concatenate([x1, y2], axis=-1)
+    z = (jnp.dot(y.astype(bf), wk["lu_w_f"].astype(bf).T,
+                 preferred_element_type=jnp.float32)
+         + wk["lu_b"].astype(jnp.float32))
+    return z, ldj_add
+
+
+
+# --------------------------------------------------------- stack flattening
+
+_F32_SUFFIXES = ("bq_f", "cpl_in_b", "lu_b", "lu_ldj_f")
+
+
+def _stack_names(n_pre, n_cpl, has_attn):
+    """Stacks the BACKWARD KERNEL sees. lu_ldj_f is deliberately absent:
+    it only adds a per-layer constant to ldj, so its gradient is sum(dldj)
+    — computed by the driver, keeping scalar reductions out of Mosaic."""
+    names = []
+    if has_attn:
+        names += ["pre_w%d" % i for i in range(n_pre)]
+        names += ["pre_b%d" % i for i in range(n_pre)]
+        names += ["wq_f", "bq_f", "wkv"]
+    names += ["cpl_in_xe", "cpl_in_c", "cpl_in_b"]
+    names += ["cpl_w%d" % i for i in range(n_cpl - 1)]
+    names += ["cpl_b%d" % i for i in range(n_cpl - 1)]
+    names += ["lu_w_f", "lu_b"]
+    return names
+
+
+def _is_f32_stack(name: str) -> bool:
+    """Biases and ldj constants keep f32 in VMEM (same policy as the eval
+    kernel's add_stacked casts); weight matrices stream as bf16."""
+    return name.endswith(_F32_SUFFIXES) or "_b" in name
+
+
+def _flatten_folded(arrs, n_cpl, has_attn):
+    """fold_stacks() arrays -> flat {name: (L, ...) array}, biases
+    normalized to (L, 1, O) and lu_ldj_f to (L, 1, 1)."""
+    def b3(a):
+        return a if a.ndim == 3 else a[:, None, :]
+
+    out = {}
+    if has_attn:
+        for i, (w, b) in enumerate(arrs["pre"]):
+            out["pre_w%d" % i] = w
+            out["pre_b%d" % i] = b3(b)
+        out["wq_f"] = arrs["wq_f"]
+        out["bq_f"] = b3(arrs["bq_f"])
+        out["wkv"] = arrs["wkv"]
+    out["cpl_in_xe"] = arrs["cpl_in_xe"]
+    out["cpl_in_c"] = arrs["cpl_in_c"]
+    out["cpl_in_b"] = b3(arrs["cpl_in_b"])
+    for i, (w, bb) in enumerate(arrs["cpl_rest"]):
+        out["cpl_w%d" % i] = w
+        out["cpl_b%d" % i] = b3(bb)
+    out["lu_w_f"] = arrs["lu_w_f"]
+    out["lu_b"] = b3(arrs["lu_b"])
+    out["lu_ldj_f"] = arrs["lu_ldj_f"].reshape(-1, 1, 1)
+    return out
+
+
+def _unflatten_grads(flat, arrs, n_cpl, has_attn):
+    """Flat grad dict -> cotangent with EXACTLY the pytree structure of the
+    differentiable fold_stacks() arrays (minus the static n_cpl)."""
+    out = {}
+    for key, val in arrs.items():
+        if key == "pre":
+            out["pre"] = (None if val is None else [
+                (flat["pre_w%d" % i],
+                 flat["pre_b%d" % i].reshape(val[i][1].shape))
+                for i in range(len(val))])
+        elif key == "cpl_rest":
+            out["cpl_rest"] = [
+                (flat["cpl_w%d" % i],
+                 flat["cpl_b%d" % i].reshape(val[i][1].shape))
+                for i in range(n_cpl - 1)]
+        elif val is None:
+            out[key] = None
+        else:
+            out[key] = flat[key].reshape(val.shape)
+    return out
+
+
+# --------------------------------------------------------- custom-vjp driver
+
+def fused_flow_layers_trainable(x, ldj, context, extra, folded, *,
+                                eps_affine: float = 1e-8):
+    """Differentiable fused flow stack. Forward IS the eval megakernel;
+    under jax.grad the backward runs flow_layers_bwd (segmented reverse
+    megakernel). Signature mirrors folded_scan_core: `folded` is the
+    fold_stacks() output. Gradients flow to x, ldj, context, extra and all
+    folded arrays (the outer fold_stacks einsums chain them back to raw
+    params via ordinary autodiff)."""
+    n_cpl = folded["n_cpl"]
+    arrs = {k: v for k, v in folded.items() if k != "n_cpl"}
+    return _trainable_impl(n_cpl, eps_affine, x, ldj, context, extra, arrs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _trainable_impl(n_cpl, eps_affine, x, ldj, context, extra, arrs):
+    z, ldj_out = fused_flow_layers(
+        x, ldj, context, extra, {**arrs, "n_cpl": n_cpl},
+        eps_affine=eps_affine)
+    return z, ldj_out
+
+
+def _trainable_fwd(n_cpl, eps_affine, x, ldj, context, extra, arrs):
+    L = arrs["lu_ldj_f"].shape[0]
+    z, ldj_out, saves = fused_flow_layers(
+        x, ldj, context, extra, {**arrs, "n_cpl": n_cpl},
+        eps_affine=eps_affine, save_every=_pick_segment(L))
+    return (z, ldj_out), (saves, context, extra, arrs)
+
+
+def _trainable_bwd(n_cpl, eps_affine, res, cots):
+    saves, context, extra, arrs = res
+    dz, dldj = cots
+    dx, dctx, dextra, dflat = flow_layers_bwd(
+        saves, dz, dldj, context, extra, arrs, n_cpl,
+        eps_affine=eps_affine)
+    has_attn = arrs.get("pre") is not None
+    darrs = _unflatten_grads(dflat, arrs, n_cpl, has_attn)
+    # custom_vjp contract: cotangent dtypes must equal primal dtypes (the
+    # kernel accumulates everything in f32; inputs may arrive bf16)
+    darrs = jax.tree_util.tree_map(lambda g, a: g.astype(a.dtype),
+                                   darrs, arrs)
+    return (dx, dldj.astype(jnp.float32), dctx.astype(context.dtype),
+            dextra.astype(extra.dtype) if extra is not None else None,
+            darrs)
+
+
+_trainable_impl.defvjp(_trainable_fwd, _trainable_bwd)
+
+
+# ----------------------------------------------------------- backward kernel
+
+def flow_layers_bwd(saves, dz, dldj, context, extra, arrs, n_cpl, *,
+                    eps_affine: float = 1e-8, interpret: bool = False):
+    """The segmented backward megakernel. Returns (dx, dctx, dextra, dflat),
+    dflat = {name: (L, ...) f32 gradient} keyed like _flatten_folded."""
+    b, n, lat = dz.shape
+    has_attn = arrs.get("pre") is not None
+    has_extra = extra is not None
+    flat = _flatten_folded(arrs, n_cpl, has_attn)
+    L = flat["lu_ldj_f"].shape[0]  # (L,1,1); kernel never sees it
+    K = _pick_segment(L)
+    S = L // K
+    n_pre = len(arrs["pre"]) if has_attn else 0
+    split = lat // 2
+    qb = min(_QB_BWD, n)
+    while n % qb:
+        qb //= 2
+    nbs = n // qb
+    nc, e_dim = context.shape[1], context.shape[2]
+    bf = jnp.bfloat16
+
+    inputs = [saves, dldj.astype(jnp.float32)[..., None],
+              context.astype(bf)]
+    in_specs = [
+        pl.BlockSpec((1, 1, qb, lat),
+                     lambda s, bi, nb: (S - 1 - s, bi, nb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, qb, 1), lambda s, bi, nb: (bi, nb, 0),
+                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((1, nc, e_dim), lambda s, bi, nb: (bi, 0, 0),
+                      memory_space=pltpu.VMEM) if has_attn else
+         pl.BlockSpec((1, qb, e_dim), lambda s, bi, nb: (bi, nb, 0),
+                      memory_space=pltpu.VMEM)),
+    ]
+    if has_extra:
+        inputs.append(extra.astype(bf))
+        in_specs.append(pl.BlockSpec((1, qb, extra.shape[-1]),
+                                     lambda s, bi, nb: (bi, nb, 0),
+                                     memory_space=pltpu.VMEM))
+    inputs.append(dz.astype(jnp.float32))
+    dz_index = len(inputs) - 1
+    in_specs.append(pl.BlockSpec((1, qb, lat), lambda s, bi, nb: (bi, nb, 0),
+                                 memory_space=pltpu.VMEM))
+
+    def seg_index_map(ndim_tail):
+        return functools.partial(
+            lambda s, bi, nb, _nd: (S - 1 - s,) + (0,) * _nd,
+            _nd=ndim_tail)
+
+    names = _stack_names(n_pre, n_cpl, has_attn)
+    for name in names:
+        arr = flat[name]
+        inputs.append(arr if _is_f32_stack(name) else arr.astype(bf))
+        in_specs.append(pl.BlockSpec((K,) + arr.shape[1:],
+                                     seg_index_map(arr.ndim - 1),
+                                     memory_space=pltpu.VMEM))
+
+    out_shapes = [jax.ShapeDtypeStruct((b, n, lat), jnp.float32)]  # dx
+    out_specs = [pl.BlockSpec((1, qb, lat), lambda s, bi, nb: (bi, nb, 0),
+                              memory_space=pltpu.VMEM)]
+    for name in names:
+        arr = flat[name]
+        out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec((K,) + arr.shape[1:],
+                                      seg_index_map(arr.ndim - 1),
+                                      memory_space=pltpu.VMEM))
+    if has_attn:  # dctx per (segment, item); caller sums over segments
+        out_shapes.append(jax.ShapeDtypeStruct((S, b, nc, e_dim),
+                                               jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, nc, e_dim),
+                                      lambda s, bi, nb: (s, bi, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    else:
+        out_shapes.append(jax.ShapeDtypeStruct((S, b, n, e_dim),
+                                               jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, qb, e_dim),
+                                      lambda s, bi, nb: (s, bi, nb, 0),
+                                      memory_space=pltpu.VMEM))
+    if has_extra:
+        out_shapes.append(jax.ShapeDtypeStruct((S, b, n, extra.shape[-1]),
+                                               jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, qb, extra.shape[-1]),
+                                      lambda s, bi, nb: (s, bi, nb, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _bwd_kernel_impl, n_pre=n_pre, n_cpl=n_cpl, has_attn=has_attn,
+        has_extra=has_extra, split=split, eps_affine=eps_affine, k_seg=K)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(S, b, nbs),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        input_output_aliases={dz_index: 0},
+        scratch_shapes=[pltpu.VMEM((K, qb, lat), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+
+    dx = outs[0]
+    dflat = {name: outs[1 + i] for i, name in enumerate(names)}
+    pos = 1 + len(names)
+    dctx = jnp.sum(outs[pos], axis=0)
+    dextra = jnp.sum(outs[pos + 1], axis=0) if has_extra else None
+    # lu_ldj_f adds a constant per layer to every point's ldj: its gradient
+    # is the same total-dldj for every layer (kept out of Mosaic on purpose)
+    dflat["lu_ldj_f"] = jnp.full((L, 1, 1), jnp.sum(dldj), jnp.float32)
+    return dx, dctx, dextra, dflat
+
+
+def _bwd_kernel_impl(*refs, n_pre, n_cpl, has_attn, has_extra, split,
+                     eps_affine, k_seg):
+    x_stash = refs[-1]
+    refs = refs[:-1]
+    it = iter(refs)
+    saves_ref = next(it)
+    dldj_ref = next(it)
+    ctx_ref = next(it)
+    extra_ref = next(it) if has_extra else None
+    dz_ref = next(it)
+
+    names = _stack_names(n_pre, n_cpl, has_attn)
+    w_refs = {nm: next(it) for nm in names}
+    dx_out = next(it)
+    dw_refs = {nm: next(it) for nm in names}
+    dctx_ref = next(it)
+    dextra_ref = next(it) if has_extra else None
+
+    bi = pl.program_id(1)
+    nb = pl.program_id(2)
+
+    def wk_at(k):
+        def row(name):
+            return w_refs[name][pl.ds(k, 1)][0]
+        wk = {
+            "cpl_in_xe": row("cpl_in_xe"), "cpl_in_c": row("cpl_in_c"),
+            "cpl_in_b": row("cpl_in_b"),
+            "cpl_rest": [(row("cpl_w%d" % i), row("cpl_b%d" % i))
+                         for i in range(n_cpl - 1)],
+            "lu_w_f": row("lu_w_f"), "lu_b": row("lu_b"),
+        }
+        if has_attn:
+            wk["pre"] = [(row("pre_w%d" % i), row("pre_b%d" % i))
+                         for i in range(n_pre)]
+            wk.update(wq_f=row("wq_f"), bq_f=row("bq_f"), wkv=row("wkv"))
+        return wk
+
+    ctx = ctx_ref[0]
+    extra = extra_ref[0] if has_extra else None
+    fwd = functools.partial(
+        _layer_fwd_math, n_pre=n_pre, n_cpl=n_cpl, has_attn=has_attn,
+        has_extra=has_extra, split=split, eps_affine=eps_affine)
+
+    # chain pass: stash the K per-layer input carries for this block
+    def chain_body(k, x):
+        x_stash[pl.ds(k, 1)] = x[None]
+        z, _ = fwd(wk_at(k), x, ctx, extra)
+        return z
+
+    jax.lax.fori_loop(0, k_seg, chain_body, saves_ref[0, 0], unroll=False)
+
+    first_of_slab = jnp.logical_and(bi == 0, nb == 0)
+
+    @pl.when(first_of_slab)
+    def _():
+        for r in dw_refs.values():
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    dldj = dldj_ref[0]            # (QB, 1) f32
+
+    def bwd_body(i, carry):
+        dz, dctx_acc, dextra_acc = carry
+        k = k_seg - 1 - i
+        x = x_stash[pl.ds(k, 1)][0]
+        wk = wk_at(k)
+        if has_extra:
+            _, vjp = jax.vjp(fwd, wk, x, ctx, extra)
+            dwk, dx, dctx_k, dextra_k = vjp((dz, dldj))
+        else:
+            _, vjp = jax.vjp(lambda w, xx, cc: fwd(w, xx, cc, None),
+                             wk, x, ctx)
+            dwk, dx, dctx_k = vjp((dz, dldj))
+            dextra_k = None
+
+        dflat = {
+            "cpl_in_xe": dwk["cpl_in_xe"], "cpl_in_c": dwk["cpl_in_c"],
+            "cpl_in_b": dwk["cpl_in_b"],
+            "lu_w_f": dwk["lu_w_f"], "lu_b": dwk["lu_b"],
+        }
+        for j in range(n_cpl - 1):
+            dflat["cpl_w%d" % j], dflat["cpl_b%d" % j] = dwk["cpl_rest"][j]
+        if has_attn:
+            for j in range(n_pre):
+                dflat["pre_w%d" % j], dflat["pre_b%d" % j] = dwk["pre"][j]
+            dflat["wq_f"], dflat["bq_f"], dflat["wkv"] = (
+                dwk["wq_f"], dwk["bq_f"], dwk["wkv"])
+        for name in names:
+            r = dw_refs[name]
+            g = dflat[name].astype(jnp.float32)
+            if g.ndim == r.ndim - 1:
+                g = g[None]
+            r[pl.ds(k, 1)] = r[pl.ds(k, 1)] + g.reshape(
+                (1,) + r.shape[1:])
+        dctx_acc = dctx_acc + dctx_k.astype(jnp.float32)
+        if has_extra:
+            dextra_acc = dextra_acc + dextra_k.astype(jnp.float32)
+        return dx, dctx_acc, dextra_acc
+
+    dctx0 = jnp.zeros(ctx.shape, jnp.float32)
+    dextra0 = (jnp.zeros(extra.shape, jnp.float32) if has_extra
+               else jnp.zeros((8, 128), jnp.float32))
+    dz, dctx_acc, dextra_acc = jax.lax.fori_loop(
+        0, k_seg, bwd_body, (dz_ref[0], dctx0, dextra0), unroll=False)
+
+    dx_out[0] = dz
+    if has_attn:
+        @pl.when(nb == 0)
+        def _():
+            dctx_ref[0, 0] = dctx_acc
+
+        @pl.when(nb != 0)
+        def _():
+            dctx_ref[0, 0] += dctx_acc
+    else:
+        dctx_ref[0, 0] = dctx_acc
+    if has_extra:
+        dextra_ref[0, 0] = dextra_acc

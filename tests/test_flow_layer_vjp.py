@@ -1,0 +1,147 @@
+"""Tests for the differentiable flow-layer megakernel
+(ops/flow_layer_vjp_pallas). The Pallas kernels themselves are TPU-only
+(carry aliasing breaks in interpret mode) — their gradient parity vs the
+scan path runs when a chip is attached (see also
+tools/test_vjp_kernel_chip.py and save/bench/vjp_parity.json for the
+recorded chip numbers). CPU covers the pure plumbing: flatten/unflatten
+structure, segment picking, and that the custom-vjp primal (eval path)
+is what log_prob uses.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import flowcompare_tpu as fc
+from flowcompare_tpu.core.mlp import gelu
+from flowcompare_tpu.ops import flow_layer_pallas as flp
+from flowcompare_tpu.ops import flow_layer_vjp_pallas as fvp
+
+
+def test_pick_segment_divides():
+    for L, expect in [(116, 4), (8, 4), (6, 3), (7, 1), (12, 4), (9, 3)]:
+        k = fvp._pick_segment(L)
+        assert L % k == 0 and k == expect
+
+
+def _toy_folded(has_attn=True, L=4):
+    key = jax.random.PRNGKey(0)
+    cfg = fc.get_config("dulcet-universe" if has_attn else "helpful-sponge")
+    cfg["n_flow_layers"] = L - 1  # +1 appended final block
+    model = fc.FlowCompareModel(cfg, remat=False)
+    params, _ = model.init_params(key)
+    layers = model._prepare_layers(params["layers"])
+    stacks = flp.build_layer_stacks(model, layers)
+    stacks = flp.append_final_block(stacks, params["final_block"],
+                                    cfg["latent_dim"])
+    folded = flp.fold_stacks(stacks, split=cfg["latent_dim"] // 2,
+                             extra_dim=1 if has_attn else 0)
+    return folded
+
+
+@pytest.mark.slow
+def test_flatten_unflatten_structure_roundtrip():
+    folded = _toy_folded(has_attn=True)
+    arrs = {k: v for k, v in folded.items() if k != "n_cpl"}
+    n_cpl = folded["n_cpl"]
+    flat = fvp._flatten_folded(arrs, n_cpl, True)
+    # pretend-grads: reuse the arrays; unflatten must reproduce the exact
+    # pytree structure (custom_vjp requires cotangent treedef == primal)
+    grads = fvp._unflatten_grads(flat, arrs, n_cpl, True)
+    assert (jax.tree_util.tree_structure(grads)
+            == jax.tree_util.tree_structure(arrs))
+    for (a, g) in zip(jax.tree_util.tree_leaves(arrs),
+                      jax.tree_util.tree_leaves(grads)):
+        assert a.shape == g.shape
+
+
+@pytest.mark.slow
+def test_trainable_primal_matches_scan_core_cpu():
+    """The custom-vjp PRIMAL routes through the eval megakernel, which is
+    TPU-only; on CPU this test instead checks the layer math used by the
+    backward (f32 version of _layer_fwd_math composed over layers) against
+    folded_scan_core — the backward recomputes forward with exactly this
+    function, so agreement here pins the recompute semantics."""
+    folded = _toy_folded(has_attn=True)
+    n_cpl = folded["n_cpl"]
+    B, N, LAT, NC, E = 2, 256, 300, 320, 64
+    k = jax.random.PRNGKey(1)
+    x = jax.random.normal(k, (B, N, LAT))
+    ldj = jnp.zeros((B, N))
+    ctx = jax.random.normal(jax.random.fold_in(k, 1), (B, NC, E)) * 0.5
+    extra = jax.random.normal(jax.random.fold_in(k, 2), (B, N, 1))
+
+    z_ref, ldj_ref = flp.folded_scan_core(
+        x, ldj, ctx, extra, folded, nonlin=gelu, dtype=jnp.bfloat16,
+        remat=False)
+
+    L = folded["lu_ldj_f"].shape[0]
+    arrs = {kk: v for kk, v in folded.items() if kk != "n_cpl"}
+    flat = fvp._flatten_folded(arrs, n_cpl, True)
+
+    def one_item(xb, ctxb, extrab):
+        h = xb
+        acc = jnp.zeros((N, 1))
+        for layer in range(L):
+            wk = {
+                "cpl_in_xe": flat["cpl_in_xe"][layer],
+                "cpl_in_c": flat["cpl_in_c"][layer],
+                "cpl_in_b": flat["cpl_in_b"][layer],
+                "cpl_rest": [(flat["cpl_w%d" % i][layer],
+                              flat["cpl_b%d" % i][layer])
+                             for i in range(n_cpl - 1)],
+                "lu_w_f": flat["lu_w_f"][layer],
+                "lu_b": flat["lu_b"][layer],
+                "pre": [(flat["pre_w%d" % i][layer],
+                         flat["pre_b%d" % i][layer]) for i in range(4)],
+                "wq_f": flat["wq_f"][layer], "bq_f": flat["bq_f"][layer],
+                "wkv": flat["wkv"][layer],
+            }
+            h, dl = fvp._layer_fwd_math(
+                wk, h, ctxb, extrab, n_pre=4, n_cpl=n_cpl, has_attn=True,
+                has_extra=True, split=LAT // 2, eps_affine=1e-8)
+            acc = acc + dl + flat["lu_ldj_f"][layer]  # (1,1) broadcasts
+        return h, acc[:, 0]
+
+    z, l = jax.vmap(one_item)(x, ctx, extra)
+    assert jnp.allclose(z, z_ref, atol=2e-2, rtol=2e-2), float(
+        jnp.max(jnp.abs(z - z_ref)))
+    assert jnp.allclose(l, ldj_ref, atol=0.05, rtol=1e-3)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas megakernel compiles on TPU only")
+def test_trainable_grads_match_scan_autodiff_tpu():
+    folded = _toy_folded(has_attn=True, L=6)
+    n_cpl = folded["n_cpl"]
+    arrs = {kk: v for kk, v in folded.items() if kk != "n_cpl"}
+    B, N, NC, E, LAT = 2, 1024, 1250, 64, 300
+    k = jax.random.PRNGKey(2)
+    x = jax.random.normal(k, (B, N, LAT))
+    ldj = jnp.zeros((B, N))
+    ctx = jax.random.normal(jax.random.fold_in(k, 1), (B, NC, E)) * 0.5
+    extra = jax.random.normal(jax.random.fold_in(k, 2), (B, N, 1))
+
+    def loss_fused(x, ctx, extra, arrs):
+        z, l = fvp.fused_flow_layers_trainable(
+            x, ldj, ctx, extra, {**arrs, "n_cpl": n_cpl})
+        return jnp.sum(z * z) * 1e-3 + jnp.sum(l) * 1e-3
+
+    def loss_scan(x, ctx, extra, arrs):
+        z, l = flp.folded_scan_core(
+            x, ldj, ctx, extra, {**arrs, "n_cpl": n_cpl}, nonlin=gelu,
+            dtype=jnp.bfloat16, remat=False)
+        return jnp.sum(z * z) * 1e-3 + jnp.sum(l) * 1e-3
+
+    gf = jax.jit(jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3)))
+    gs = jax.jit(jax.value_and_grad(loss_scan, argnums=(0, 1, 2, 3)))
+    vf, grads_f = gf(x, ctx, extra, arrs)
+    vs, grads_s = gs(x, ctx, extra, arrs)
+
+    def rel(a, b):
+        return float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-12))
+
+    assert abs(float(vf - vs)) / abs(float(vs)) < 1e-3
+    for lf, ls in zip(jax.tree_util.tree_leaves(grads_f),
+                      jax.tree_util.tree_leaves(grads_s)):
+        assert rel(lf, ls) < 0.02

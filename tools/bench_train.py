@@ -21,14 +21,20 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def measure(folded: bool, n_steps: int = 5) -> dict:
+def measure(mode: str, n_steps: int = 5) -> dict:
+    """mode: 'kernel' (Pallas fwd+bwd megakernels), 'folded' (folded
+    lax.scan core + XLA autodiff), 'unfolded' (plain scan + autodiff)."""
     import flowcompare_tpu as fc
     from flowcompare_tpu.train.trainer import init_train_state, make_train_step
 
     cfg = fc.get_config("dulcet-universe")
     cfg["compute_dtype"] = "bfloat16"
-    cfg["folded_scan"] = folded
-    model = fc.FlowCompareModel(cfg)
+    cfg["folded_scan"] = mode != "unfolded"
+    if os.environ.get("FLOWCOMPARE_BENCH_LAYERS"):
+        # attribution aid: a near-empty flow stack isolates the
+        # encoder/augmenter/optimizer floor of the step
+        cfg["n_flow_layers"] = int(os.environ["FLOWCOMPARE_BENCH_LAYERS"])
+    model = fc.FlowCompareModel(cfg, fused_layers=(mode == "kernel"))
     state = init_train_state(model, jax.random.PRNGKey(0))
     step = make_train_step(model)
     bsz = cfg["batch_size"]
@@ -51,7 +57,7 @@ def measure(folded: bool, n_steps: int = 5) -> dict:
         state, m = step(state, batch(i))
         float(m["loss"])
     dt = (time.perf_counter() - t0) / n_steps
-    return {"folded_scan": folded, "ms_per_step": round(1000 * dt, 1),
+    return {"mode": mode, "ms_per_step": round(1000 * dt, 1),
             "points_per_sec": round(bsz * cfg["sample_size"] / dt, 1),
             "loss_finite": bool(jax.numpy.isfinite(m["loss"]))}
 
@@ -63,9 +69,10 @@ def main():
     args = ap.parse_args()
     results = {"backend": jax.default_backend(),
                "config": "dulcet-universe bf16 B=20",
-               "folded": measure(True, args.steps)}
+               "kernel": measure("kernel", args.steps),
+               "folded": measure("folded", args.steps)}
     if not args.no_unfolded:
-        results["unfolded"] = measure(False, args.steps)
+        results["unfolded"] = measure("unfolded", args.steps)
     outdir = os.path.join(ROOT, "save", "bench")
     os.makedirs(outdir, exist_ok=True)
     with open(os.path.join(outdir, "bench_train.json"), "w") as f:
