@@ -29,8 +29,18 @@ def edge_features(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
     Matches get_graph_feature (pytorch_gcn.py:23-47): the kNN graph is built
     in the current feature space, features are (xj - xi, xi).
+
+    stop_gradient on the kNN input is semantically exact (top_k indices
+    are integers, so no gradient exists through the selection — torch
+    autograd behaves the same) and keeps XLA from materialising a dead
+    top_k-transpose scatter in the backward graph.
+
+    NOTE: this gather formulation's CHAINED backward is miscompiled on the
+    axon TPU backend (see CLAUDE.md) — on chip, training must go through
+    the fused kernel path (ops/edgeconv_vjp_pallas.py), which apply_dgcnn
+    selects automatically.
     """
-    idx = knn_self(x, k)
+    idx = knn_self(jax.lax.stop_gradient(x), k)
     neighbors = gather_neighbors(x, idx)
     center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
     return jnp.concatenate((neighbors - center, center), axis=-1)
@@ -98,6 +108,45 @@ def _fused_edge_stage(params, state, h, n_neighbors, *, bn_eps=1e-5):
     return _leaky(y).astype(h.dtype)
 
 
+def _fused_edge_stage_train(params, state, h, n_neighbors, *,
+                            momentum=0.1, bn_eps=1e-5, interpret=False):
+    """Train-mode EdgeConv via the differentiable fused kNN reduction
+    (ops/edgeconv_vjp_pallas.py) — scatter-free forward AND backward.
+
+    BatchNorm batch statistics over the full (B, N, K, C) edge tensor are
+    reconstructed exactly from per-row neighbour sums: with z_ij = u_j + c_i,
+    sum z = sum(s1) + k*sum(c) and sum z^2 = sum(s2 + 2*c*s1 + k*c^2). The
+    per-channel BN affine is monotone, so max_k act(bn(z)) = act(bn(mx or mn
+    by slope sign)); gradients through stats, max and the u/c matmuls are
+    ordinary autodiff around the custom-VJP kernel. Matches the gather path
+    (edge_features + _conv_bn_leaky + max) to compute-dtype rounding."""
+    from ..ops.edgeconv_vjp_pallas import edge_knn_reduce
+    w = params["conv"]["w"]
+    c_in = h.shape[-1]
+    w_diff, w_self = w[:c_in], w[c_in:]
+    u = h @ w_diff
+    c = h @ (w_self - w_diff)
+    mx, mn, s1, s2 = edge_knn_reduce(h, u, n_neighbors, interpret=interpret)
+    cf = c.astype(jnp.float32)
+    k = float(n_neighbors)
+    n_edges = h.shape[0] * h.shape[1] * k
+    mean = (jnp.sum(s1, (0, 1)) + k * jnp.sum(cf, (0, 1))) / n_edges
+    ez2 = (jnp.sum(s2, (0, 1)) + 2.0 * jnp.sum(cf * s1, (0, 1))
+           + k * jnp.sum(cf * cf, (0, 1))) / n_edges
+    var = jnp.maximum(ez2 - mean * mean, 0.0)
+    gamma = params["bn"]["scale"].astype(jnp.float32)
+    beta = params["bn"]["bias"].astype(jnp.float32)
+    inv = jax.lax.rsqrt(var + bn_eps)
+    zsel = jnp.where(gamma >= 0, mx, mn) + cf
+    y = (zsel - mean) * inv * gamma + beta
+    unbiased = var * (n_edges / max(n_edges - 1.0, 1.0))
+    new_state = {
+        "mean": (1 - momentum) * state["mean"] + momentum * mean,
+        "var": (1 - momentum) * state["var"] + momentum * unbiased,
+    }
+    return _leaky(y).astype(h.dtype), new_state
+
+
 def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
                 n_neighbors: int = 20, training: bool = False,
                 global_pool: bool = False, dtype=None, fused: bool = False):
@@ -105,19 +154,26 @@ def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
 
     dtype: optional compute dtype (bf16) — conv matmuls and the kNN distance
     matmul run at MXU rate; BatchNorm statistics stay f32.
-    fused: eval-only Pallas edge-conv path (requires training=False)."""
+    fused: Pallas edge-conv paths — eval (edgeconv_pallas) and, on a
+    compiled TPU backend, the differentiable train kernel
+    (edgeconv_vjp_pallas)."""
     new_state = {}
     feats = []
     if dtype is not None:
         params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
         x = x.astype(dtype)
     use_fused = fused and not training
+    use_fused_train = (fused and training
+                       and jax.default_backend() == "tpu")
     h = x
     for i in range(1, 5):
         if use_fused:
             h = _fused_edge_stage(params[f"conv{i}"], state[f"bn{i}"], h,
                                   n_neighbors)
             new_state[f"bn{i}"] = state[f"bn{i}"]
+        elif use_fused_train:
+            h, new_state[f"bn{i}"] = _fused_edge_stage_train(
+                params[f"conv{i}"], state[f"bn{i}"], h, n_neighbors)
         else:
             e = edge_features(h, n_neighbors)
             e, new_state[f"bn{i}"] = _conv_bn_leaky(

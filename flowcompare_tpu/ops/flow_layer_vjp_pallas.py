@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .flow_layer_pallas import _gelu, fold_stacks, fused_flow_layers
 
-_QB_BWD = 512  # backward holds a layer's vjp residuals live; 1024-row blocks spill ~112MB of VMEM (OOM on v5e's 128MB)
+_QB_BWD = 512  # backward holds a layer's vjp residuals live; 1024-row blocks spill VMEM even at K=2 (tried 2026-08-17)
 
 
 def _pick_segment(n_layers: int, k_max: int = 4) -> int:
@@ -50,6 +50,40 @@ def _pick_segment(n_layers: int, k_max: int = 4) -> int:
         if n_layers % k == 0:
             return k
     return 1
+
+
+# Checkpoint spacing. Measured full-scale (B=20, fused encoder in the same
+# program): K=4 @126M cap = 476 ms/step, K=2 @110M = 495, K=2+QB1024 =
+# VMEM OOM. K=4 needs the 126M cap since the fused-encoder layouts pushed
+# the kernel's scoped stack to 124.5M.
+_K_SEG = 4
+
+
+def _pad_identity_layers(arrs, pad: int, lat: int):
+    """Append `pad` identity layers to the folded stacks: zero coupling /
+    attention weights make st==0 so the sigmoid-scale is exactly 1 (y2=x2,
+    ldj 0), and an eye LinearLU with zero ldj passes the carry through.
+    The trainable path pads every stack to a _K_SEG multiple because the
+    K=1 segmentation (needed when L is not divisible by 2..4) faults the
+    TPU runtime; identity layers cost one kernel grid step each and only
+    appear for small test depths (full-scale is 116 = 29*4)."""
+    def padz(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+
+    out = {}
+    for key, val in arrs.items():
+        if val is None:
+            out[key] = None
+        elif key in ("pre", "cpl_rest"):
+            out[key] = [(padz(w), padz(b)) for (w, b) in val]
+        elif key == "lu_w_f":
+            eye = jnp.broadcast_to(jnp.eye(lat, dtype=val.dtype),
+                                   (pad, lat, lat))
+            out[key] = jnp.concatenate([val, eye], 0)
+        else:
+            out[key] = padz(val)
+    return out
 
 
 # --------------------------------------------------------------- layer math
@@ -228,18 +262,27 @@ def _trainable_impl(n_cpl, eps_affine, x, ldj, context, extra, arrs):
 
 def _trainable_fwd(n_cpl, eps_affine, x, ldj, context, extra, arrs):
     L = arrs["lu_ldj_f"].shape[0]
+    lat = arrs["lu_w_f"].shape[-1]
+    pad = (-L) % _K_SEG
+    run = arrs if pad == 0 else _pad_identity_layers(arrs, pad, lat)
     z, ldj_out, saves = fused_flow_layers(
-        x, ldj, context, extra, {**arrs, "n_cpl": n_cpl},
-        eps_affine=eps_affine, save_every=_pick_segment(L))
+        x, ldj, context, extra, {**run, "n_cpl": n_cpl},
+        eps_affine=eps_affine, save_every=_K_SEG)
     return (z, ldj_out), (saves, context, extra, arrs)
 
 
 def _trainable_bwd(n_cpl, eps_affine, res, cots):
     saves, context, extra, arrs = res
     dz, dldj = cots
+    L = arrs["lu_ldj_f"].shape[0]
+    lat = arrs["lu_w_f"].shape[-1]
+    pad = (-L) % _K_SEG
+    run = arrs if pad == 0 else _pad_identity_layers(arrs, pad, lat)
     dx, dctx, dextra, dflat = flow_layers_bwd(
-        saves, dz, dldj, context, extra, arrs, n_cpl,
+        saves, dz, dldj, context, extra, run, n_cpl,
         eps_affine=eps_affine)
+    if pad:
+        dflat = {k: v[:L] for k, v in dflat.items()}
     has_attn = arrs.get("pre") is not None
     darrs = _unflatten_grads(dflat, arrs, n_cpl, has_attn)
     # custom_vjp contract: cotangent dtypes must equal primal dtypes (the
@@ -265,7 +308,9 @@ def flow_layers_bwd(saves, dz, dldj, context, extra, arrs, n_cpl, *,
     has_extra = extra is not None
     flat = _flatten_folded(arrs, n_cpl, has_attn)
     L = flat["lu_ldj_f"].shape[0]  # (L,1,1); kernel never sees it
-    K = _pick_segment(L)
+    # segment spacing comes from the saves layout so fwd and bwd can never
+    # disagree (saves: (L/K, B, N, LAT))
+    K = L // saves.shape[0]
     S = L // K
     n_pre = len(arrs["pre"]) if has_attn else 0
     split = lat // 2
@@ -353,7 +398,7 @@ def flow_layers_bwd(saves, dz, dldj, context, extra, arrs, n_cpl, *,
         input_output_aliases={dz_index: 0},
         scratch_shapes=[pltpu.VMEM((K, qb, lat), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
 

@@ -145,3 +145,54 @@ def test_trainable_grads_match_scan_autodiff_tpu():
     for lf, ls in zip(jax.tree_util.tree_leaves(grads_f),
                       jax.tree_util.tree_leaves(grads_s)):
         assert rel(lf, ls) < 0.02
+
+
+@pytest.mark.slow
+def test_identity_padding_layers_are_identity():
+    """The trainable path pads stacks to a _K_SEG multiple (K=1
+    segmentation faults the TPU runtime); each pad layer must pass
+    (x, ldj) through unchanged up to one bf16 rounding of the carry."""
+    folded = _toy_folded(has_attn=True, L=5)  # 5 -> pad 3
+    n_cpl = folded["n_cpl"]
+    arrs = {kk: v for kk, v in folded.items() if kk != "n_cpl"}
+    L = arrs["lu_ldj_f"].shape[0]
+    lat = arrs["lu_w_f"].shape[-1]
+    padded = fvp._pad_identity_layers(arrs, 3, lat)
+    for kk, v in padded.items():
+        if v is None:
+            continue
+        leaves = [w for pair in v for w in pair] if isinstance(v, list) else [v]
+        orig = arrs[kk]
+        oleaves = ([w for pair in orig for w in pair]
+                   if isinstance(orig, list) else [orig])
+        for p, o in zip(leaves, oleaves):
+            assert p.shape[0] == L + 3 and p.shape[1:] == o.shape[1:], kk
+
+    flat = fvp._flatten_folded(padded, n_cpl, True)
+    N = 64
+    k = jax.random.PRNGKey(4)
+    x = jax.random.normal(k, (N, 300))
+    ctx = jax.random.normal(jax.random.fold_in(k, 1), (96, 64)) * 0.5
+    extra = jax.random.normal(jax.random.fold_in(k, 2), (N, 1))
+    n_pre = len(padded["pre"])
+    for layer in range(L, L + 3):
+        wk = {
+            "cpl_in_xe": flat["cpl_in_xe"][layer],
+            "cpl_in_c": flat["cpl_in_c"][layer],
+            "cpl_in_b": flat["cpl_in_b"][layer],
+            "cpl_rest": [(flat["cpl_w%d" % i][layer],
+                          flat["cpl_b%d" % i][layer])
+                         for i in range(n_cpl - 1)],
+            "lu_w_f": flat["lu_w_f"][layer], "lu_b": flat["lu_b"][layer],
+            "pre": [(flat["pre_w%d" % i][layer], flat["pre_b%d" % i][layer])
+                    for i in range(n_pre)],
+            "wq_f": flat["wq_f"][layer], "bq_f": flat["bq_f"][layer],
+            "wkv": flat["wkv"][layer],
+        }
+        z, dl = fvp._layer_fwd_math(
+            wk, x, ctx, extra, n_pre=n_pre, n_cpl=n_cpl, has_attn=True,
+            has_extra=True, split=150, eps_affine=1e-8)
+        assert jnp.allclose(z, x.astype(jnp.bfloat16).astype(jnp.float32),
+                            atol=1e-6)
+        assert jnp.allclose(dl, 0.0, atol=1e-6)
+        assert float(flat["lu_ldj_f"][layer][0, 0]) == 0.0

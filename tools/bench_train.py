@@ -66,16 +66,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--no-unfolded", action="store_true")
+    ap.add_argument("--modes", default=None,
+                    help="comma list of kernel,folded,unfolded (overrides)")
     args = ap.parse_args()
+    modes = (args.modes.split(",") if args.modes else
+             (["kernel", "folded"] if args.no_unfolded else
+              ["kernel", "folded", "unfolded"]))
     results = {"backend": jax.default_backend(),
-               "config": "dulcet-universe bf16 B=20",
-               "kernel": measure("kernel", args.steps),
-               "folded": measure("folded", args.steps)}
-    if not args.no_unfolded:
-        results["unfolded"] = measure("unfolded", args.steps)
+               "config": "dulcet-universe bf16 B=20"}
+    for mode in modes:
+        results[mode] = measure(mode, args.steps)
     outdir = os.path.join(ROOT, "save", "bench")
     os.makedirs(outdir, exist_ok=True)
-    with open(os.path.join(outdir, "bench_train.json"), "w") as f:
+    path = os.path.join(outdir, "bench_train.json")
+    if args.modes and os.path.exists(path):
+        # partial --modes run: merge into the existing artifact
+        with open(path) as f:
+            prev = json.load(f)
+        prev.update(results)
+        results = prev
+    with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 

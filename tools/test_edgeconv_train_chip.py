@@ -1,0 +1,112 @@
+"""On-chip check of the fused EdgeConv TRAIN kernel: loss + gradients of a
+training step using the fused encoder (edgeconv_vjp_pallas, on TPU) vs the
+gather formulation computed ON CPU (f32 XLA — the trustworthy reference).
+
+Why CPU for the reference: the axon TPU backend's scatter-add backward (the
+VJP of gather_neighbors / top_k gathers) silently returns ~1e-7-norm
+gradients for everything upstream of a scatter — measured 2026-08-17:
+chip-gather conv2.w grad norm 9.8e-7 vs 3.5e-3 on CPU and 3.5e-3 from the
+fused kernel. The fused kernel (scatter-free, one-hot MXU backward) is both
+the fast path and the CORRECT one on this backend.
+
+    PYTHONPATH=/root/.axon_site python tools/test_edgeconv_train_chip.py [L]
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REF_NPZ = "/tmp/edgeconv_ref_grads.npz"
+
+
+def compute(fused_enc: bool, n_layers: int, out_npz=None):
+    import jax
+    if os.environ.get("FLOWCOMPARE_CPU_REF"):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import flowcompare_tpu as fc
+
+    cfg = fc.get_config("dulcet-universe")
+    cfg["n_flow_layers"] = n_layers
+    cfg["compute_dtype"] = "bfloat16"
+    cfg["fused_encoder"] = fused_enc
+    model = fc.FlowCompareModel(cfg, remat=False, fused_layers=False)
+    params, state = model.init_params(jax.random.PRNGKey(0))
+    B = 20
+    seed = int(os.environ.get("FLOWCOMPARE_SEED", "1"))
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 4)
+    batch = (jax.random.normal(k0, (B, cfg["n_samples_context"], 6)),
+             jax.random.normal(k1, (B, cfg["sample_size"], 6)),
+             jax.random.normal(k2, (B, 1)))
+
+    @jax.jit
+    def loss_grad(p):
+        def loss(pp):
+            l, _, _, _ = fc.inner_loop(model, pp, state, batch, rng=k3,
+                                       training=True)
+            return l
+        return jax.value_and_grad(loss)(p)
+
+    v, g = loss_grad(params)
+    emb = g["embedder"]
+    flat = {}
+    paths = jax.tree_util.tree_flatten_with_path(emb)[0]
+    for path, leaf in paths:
+        flat[jax.tree_util.keystr(path)] = np.asarray(leaf, np.float32)
+    flat["__loss__"] = np.float32(v)
+    if out_npz:
+        np.savez(out_npz, **flat)
+    return flat
+
+
+def main():
+    n_layers = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+
+    if os.environ.get("FLOWCOMPARE_CPU_REF"):
+        compute(False, n_layers, out_npz=REF_NPZ)
+        return
+
+    fused_npz = "/tmp/edgeconv_fused_grads_L%d.npz" % n_layers
+    if os.path.exists(fused_npz):
+        fused = dict(np.load(fused_npz))
+        print("fused (TPU) grads loaded from cache", file=sys.stderr,
+              flush=True)
+    else:
+        fused = compute(True, n_layers, out_npz=fused_npz)
+    print("fused (TPU) done; computing CPU gather reference ...",
+          file=sys.stderr, flush=True)
+    env = dict(os.environ, FLOWCOMPARE_CPU_REF="1",
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+    subprocess.run([sys.executable, os.path.abspath(__file__),
+                    str(n_layers)], env=env, check=True)
+    ref = dict(np.load(REF_NPZ))
+
+    out = {"n_layers": n_layers,
+           "loss_fused_tpu": float(fused["__loss__"]),
+           "loss_gather_cpu": float(ref["__loss__"])}
+    worst, worst_name = 0.0, None
+    for name, a in ref.items():
+        if name == "__loss__":
+            continue
+        b = fused[name]
+        r = float(np.linalg.norm(b - a) / (np.linalg.norm(a) + 1e-12))
+        if r > worst:
+            worst, worst_name = r, name
+    out["loss_rel"] = abs(out["loss_fused_tpu"] - out["loss_gather_cpu"]) / abs(
+        out["loss_gather_cpu"])
+    out["grad_embedder_worst_rel"] = round(worst, 5)
+    out["grad_embedder_worst_path"] = worst_name
+    print(json.dumps(out, indent=1))
+    os.makedirs("save/bench", exist_ok=True)
+    with open("save/bench/edgeconv_train_parity.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
