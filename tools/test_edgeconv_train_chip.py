@@ -91,15 +91,24 @@ def main():
            "loss_fused_tpu": float(fused["__loss__"]),
            "loss_gather_cpu": float(ref["__loss__"])}
     worst, worst_name = 0.0, None
+    sq_diff, sq_ref = 0.0, 0.0
     for name, a in ref.items():
         if name == "__loss__":
             continue
         b = fused[name]
-        r = float(np.linalg.norm(b - a) / (np.linalg.norm(a) + 1e-12))
+        d = float(np.linalg.norm(b - a))
+        na = float(np.linalg.norm(a))
+        sq_diff += d * d
+        sq_ref += na * na
+        r = d / (na + 1e-12)
         if r > worst:
             worst, worst_name = r, name
     out["loss_rel"] = abs(out["loss_fused_tpu"] - out["loss_gather_cpu"]) / abs(
         out["loss_gather_cpu"])
+    # per-leaf worst is dominated by tiny-norm leaves (bf16 path noise on a
+    # small bias); the global norm-relative error is the optimization-
+    # relevant number
+    out["grad_embedder_global_rel"] = round((sq_diff / sq_ref) ** 0.5, 5)
     out["grad_embedder_worst_rel"] = round(worst, 5)
     out["grad_embedder_worst_path"] = worst_name
     print(json.dumps(out, indent=1))
