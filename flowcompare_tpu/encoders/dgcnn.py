@@ -46,6 +46,12 @@ def edge_features(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.concatenate((neighbors - center, center), axis=-1)
 
 
+# Testing hook: route apply_dgcnn's TRAIN path through the fused kernel in
+# Pallas interpret mode on CPU (tools/test_edgeconv_train_chip.py --cpu-
+# control uses it to separate chip effects from formulation/bf16 noise).
+_FORCE_FUSED_TRAIN_INTERPRET = False
+
+
 def _leaky(x):
     return jax.nn.leaky_relu(x, negative_slope=0.2)
 
@@ -164,7 +170,8 @@ def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
         x = x.astype(dtype)
     use_fused = fused and not training
     use_fused_train = (fused and training
-                       and jax.default_backend() == "tpu")
+                       and (jax.default_backend() == "tpu"
+                            or _FORCE_FUSED_TRAIN_INTERPRET))
     h = x
     for i in range(1, 5):
         if use_fused:
@@ -173,7 +180,8 @@ def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
             new_state[f"bn{i}"] = state[f"bn{i}"]
         elif use_fused_train:
             h, new_state[f"bn{i}"] = _fused_edge_stage_train(
-                params[f"conv{i}"], state[f"bn{i}"], h, n_neighbors)
+                params[f"conv{i}"], state[f"bn{i}"], h, n_neighbors,
+                interpret=_FORCE_FUSED_TRAIN_INTERPRET)
         else:
             e = edge_features(h, n_neighbors)
             e, new_state[f"bn{i}"] = _conv_bn_leaky(

@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-REF_NPZ = "/tmp/edgeconv_ref_grads.npz"
+def _ref_npz(n_layers):
+    return "/tmp/edgeconv_ref_grads_L%d.npz" % n_layers
 
 
 def compute(fused_enc: bool, n_layers: int, out_npz=None):
@@ -30,6 +31,9 @@ def compute(fused_enc: bool, n_layers: int, out_npz=None):
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import flowcompare_tpu as fc
+    if os.environ.get("FLOWCOMPARE_FUSED_INTERPRET"):
+        from flowcompare_tpu.encoders import dgcnn as _dg
+        _dg._FORCE_FUSED_TRAIN_INTERPRET = True
 
     cfg = fc.get_config("dulcet-universe")
     cfg["n_flow_layers"] = n_layers
@@ -65,29 +69,51 @@ def compute(fused_enc: bool, n_layers: int, out_npz=None):
 
 
 def main():
-    n_layers = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cpu_control = "--cpu-control" in sys.argv
+    n_layers = int(argv[0]) if argv else 4
 
     if os.environ.get("FLOWCOMPARE_CPU_REF"):
-        compute(False, n_layers, out_npz=REF_NPZ)
+        compute(os.environ.get("FLOWCOMPARE_FUSED_INTERPRET") == "1",
+                n_layers,
+                out_npz=os.environ.get("FLOWCOMPARE_OUT", _ref_npz(n_layers)))
         return
 
-    fused_npz = "/tmp/edgeconv_fused_grads_L%d.npz" % n_layers
-    if os.path.exists(fused_npz):
+    if cpu_control:
+        # control experiment: fused kernel in interpret mode ON CPU vs the
+        # CPU gather reference — same machine, same bf16 formulation. Any
+        # gap here is formulation/precision conditioning; only the excess
+        # seen on chip beyond this would be a backend effect.
+        fused_npz = "/tmp/edgeconv_fusedcpu_grads_L%d.npz" % n_layers
+        src = "fused_cpu_interpret"
+        if not os.path.exists(fused_npz):
+            env = dict(os.environ, FLOWCOMPARE_CPU_REF="1",
+                       FLOWCOMPARE_FUSED_INTERPRET="1",
+                       FLOWCOMPARE_OUT=fused_npz, JAX_PLATFORMS="cpu")
+            subprocess.run([sys.executable, os.path.abspath(__file__),
+                            str(n_layers)], env=env, check=True)
         fused = dict(np.load(fused_npz))
-        print("fused (TPU) grads loaded from cache", file=sys.stderr,
-              flush=True)
     else:
-        fused = compute(True, n_layers, out_npz=fused_npz)
-    print("fused (TPU) done; computing CPU gather reference ...",
+        src = "fused_tpu"
+        fused_npz = "/tmp/edgeconv_fused_grads_L%d.npz" % n_layers
+        if os.path.exists(fused_npz):
+            fused = dict(np.load(fused_npz))
+            print("fused (TPU) grads loaded from cache", file=sys.stderr,
+                  flush=True)
+        else:
+            fused = compute(True, n_layers, out_npz=fused_npz)
+    print("%s done; computing CPU gather reference ..." % src,
           file=sys.stderr, flush=True)
-    env = dict(os.environ, FLOWCOMPARE_CPU_REF="1",
-               JAX_PLATFORMS="cpu",
-               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
-    subprocess.run([sys.executable, os.path.abspath(__file__),
-                    str(n_layers)], env=env, check=True)
-    ref = dict(np.load(REF_NPZ))
+    if not os.path.exists(_ref_npz(n_layers)):
+        env = dict(os.environ, FLOWCOMPARE_CPU_REF="1",
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+        env.pop("FLOWCOMPARE_FUSED_INTERPRET", None)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        str(n_layers)], env=env, check=True)
+    ref = dict(np.load(_ref_npz(n_layers)))
 
-    out = {"n_layers": n_layers,
+    out = {"n_layers": n_layers, "fused_source": src,
            "loss_fused_tpu": float(fused["__loss__"]),
            "loss_gather_cpu": float(ref["__loss__"])}
     worst, worst_name = 0.0, None
@@ -113,7 +139,9 @@ def main():
     out["grad_embedder_worst_path"] = worst_name
     print(json.dumps(out, indent=1))
     os.makedirs("save/bench", exist_ok=True)
-    with open("save/bench/edgeconv_train_parity.json", "w") as f:
+    name = ("edgeconv_train_parity_cpu_control.json" if cpu_control
+            else "edgeconv_train_parity.json")
+    with open(os.path.join("save/bench", name), "w") as f:
         json.dump(out, f, indent=1)
 
 
