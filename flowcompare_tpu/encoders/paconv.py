@@ -22,7 +22,8 @@ from ..core.batchnorm import apply_batchnorm, init_batchnorm
 from ..core.initializers import xavier_normal
 from ..core.mlp import apply_mlp, gelu, init_mlp
 from ..ops.fps import furthest_point_sampling
-from ..ops.knn import gather_neighbors, knn_indices, three_nn_interpolate
+from ..ops.knn import (gather_neighbors, gather_neighbors_mm, knn_indices,
+                       three_nn_interpolate)
 from ..ops.paconv_ops import paconv_assign_score
 
 SA_MLPS = lambda c: [[c, 32, 32, 64], [64, 64, 64, 128],
@@ -156,14 +157,24 @@ def init_pointnet2_paconv(key: jax.Array, *, c: int = 3, k: int = 64,
 
 def _sa_level(params, state, xyz, feats, *, training):
     """One set-abstraction level: FPS to N/4 centres, kNN group, PAConv
-    chain with max aggregation (pointnet2_paconv_modules.py:20-61)."""
+    chain with max aggregation (pointnet2_paconv_modules.py:20-61).
+
+    In training the gathers use the scatter-free matmul backward
+    (ops/knn.gather_neighbors_mm): the hosted TPU backend miscompiles
+    chained scatter backwards (CLAUDE.md), and eliminating scatters is the
+    property that made the fused EdgeConv train kernel's chip gradients
+    correct. stop_gradient on the kNN/FPS inputs is exact (integer index
+    selection, same as torch autograd through top_k) and keeps dead
+    top_k-transpose scatters out of the backward graph."""
     npoint = xyz.shape[1] // 4
-    idx = furthest_point_sampling(xyz, npoint)
-    new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)
-    knn_idx = knn_indices(new_xyz, xyz, NSAMPLE)
-    grouped_xyz = gather_neighbors(xyz, knn_idx)
+    xyz_sg = jax.lax.stop_gradient(xyz)
+    idx = furthest_point_sampling(xyz_sg, npoint)
+    gather = gather_neighbors_mm if training else gather_neighbors
+    new_xyz = gather(xyz, idx[..., None])[:, :, 0]
+    knn_idx = knn_indices(jax.lax.stop_gradient(new_xyz), xyz_sg, NSAMPLE)
+    grouped_xyz = gather(xyz, knn_idx)
     grouped_xyz_diff = grouped_xyz - new_xyz[:, :, None, :]
-    grouped_feats = gather_neighbors(feats, knn_idx)
+    grouped_feats = gather(feats, knn_idx)
     h = jnp.concatenate((grouped_xyz_diff, grouped_feats), axis=-1)
     new_states = []
     for lp, ls in zip(params, state):
@@ -185,7 +196,8 @@ def apply_pointnet2_paconv(params, state, pointcloud, *, training: bool = False)
         l_feats.append(nf)
         new_state["sa"].append(ns)
     for i in range(-1, -5, -1):
-        interp = three_nn_interpolate(l_xyz[i - 1], l_xyz[i], l_feats[i])
+        interp = three_nn_interpolate(l_xyz[i - 1], l_xyz[i], l_feats[i],
+                                      mm_backward=training)
         skip = l_feats[i - 1]
         h = jnp.concatenate([interp, skip], axis=-1) if skip.shape[-1] else interp
         h, ns = _apply_shared_mlp(params["fp"][i], state["fp"][i], h,

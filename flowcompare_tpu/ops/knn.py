@@ -69,6 +69,57 @@ def gather_neighbors(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(b, m, k, features.shape[-1])
 
 
+@jax.custom_vjp
+def gather_neighbors_mm(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """gather_neighbors with a SCATTER-FREE backward.
+
+    Forward is identical (XLA gather). The custom VJP computes
+    du = onehot(idx)^T @ dg as an MXU matmul per batch item (lax.map keeps
+    the (M*K, N) one-hot off HBM at batch scale) instead of autodiff's
+    scatter-add. Repeated indices (ball_query's first-hit padding)
+    accumulate exactly like the scatter-add / the CUDA grouping backward.
+
+    Motivation: on the hosted TPU backend, XLA silently miscompiles chained
+    multi-stage backwards containing scatters (see CLAUDE.md; every
+    isolated op is correct — the fusion of the composed chain is not).
+    The scatter-free EdgeConv train kernel (ops/edgeconv_vjp_pallas.py)
+    demonstrated correct chip gradients by eliminating scatters; this
+    applies the same property to every PAConv train-path gather without a
+    megakernel. CPU gradients are bit-comparable to the scatter path
+    (tests/test_paconv_mm_grad.py); chip validation is a round-3 item.
+    """
+    return gather_neighbors(features, idx)
+
+
+def _gather_mm_fwd(features, idx):
+    return gather_neighbors(features, idx), \
+        (idx, features.shape[1], jnp.zeros((), features.dtype))
+
+
+def _gather_mm_bwd(res, dg):
+    idx, n, tok = res
+    b, m, k = idx.shape
+    c = dg.shape[-1]
+
+    def per_item(args):
+        idx_i, dg_i = args
+        flat = idx_i.reshape(m * k)
+        onehot = (flat[:, None] == jnp.arange(n, dtype=flat.dtype)[None, :]
+                  ).astype(jnp.float32)
+        # contract the M*K axis on the MXU: (N, C) = onehot^T @ dg, f32
+        # accumulation matching the scatter-add's
+        return jax.lax.dot_general(
+            onehot, dg_i.reshape(m * k, c).astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    du = jax.lax.map(per_item, (idx, dg))
+    return du.astype(tok.dtype), None
+
+
+gather_neighbors_mm.defvjp(_gather_mm_fwd, _gather_mm_bwd)
+
+
 def ball_query(radius: float, nsample: int, points: jnp.ndarray,
                query: jnp.ndarray) -> jnp.ndarray:
     """First `nsample` points within `radius` of each query, padded with the
@@ -94,7 +145,8 @@ def ball_query(radius: float, nsample: int, points: jnp.ndarray,
 
 def three_nn_interpolate(unknown_xyz: jnp.ndarray, known_xyz: jnp.ndarray,
                          known_feats: jnp.ndarray,
-                         eps: float = 1e-8) -> jnp.ndarray:
+                         eps: float = 1e-8,
+                         mm_backward: bool = False) -> jnp.ndarray:
     """Inverse-distance-weighted 3-NN interpolation.
 
     Replaces `pointops_cuda.nearestneighbor` + `interpolation`
@@ -116,7 +168,8 @@ def three_nn_interpolate(unknown_xyz: jnp.ndarray, known_xyz: jnp.ndarray,
             [neg, jnp.full(neg.shape[:-1] + (pad_n,), -1e20, neg.dtype)], axis=-1)
     recip = 1.0 / (jnp.maximum(-neg, 0.0) + eps)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
-    gathered = gather_neighbors(known_feats, idx)
+    gather = gather_neighbors_mm if mm_backward else gather_neighbors
+    gathered = gather(known_feats, idx)
     return jnp.einsum("bnk,bnkc->bnc", weight, gathered,
                       preferred_element_type=jnp.float32).astype(known_feats.dtype)
 
