@@ -49,7 +49,11 @@ def compute(n_layers, out_npz):
     cfg["compute_dtype"] = "bfloat16"
     model = fc.FlowCompareModel(cfg, remat=False, fused_layers=False)
     params, state = model.init_params(jax.random.PRNGKey(0))
-    B = 4  # PAConv context is 4x larger than DGCNN's; keep the step small
+    # B=20: CLAUDE.md's "prefer proven shapes" — a B=4 run of this very
+    # tool (2026-08-17) hung >9 min and left the worker dead, consistent
+    # with the recorded B=4-training-grads crash shape. Do NOT shrink B
+    # to make the run cheaper.
+    B = 20
     seed = int(os.environ.get("FLOWCOMPARE_SEED", "1"))
     k0, k1, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
     batch = (jax.random.normal(k0, (B, cfg["n_samples_context"], 6)),
