@@ -131,7 +131,17 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
     saves_out = next(it) if save_every is not None else None
 
     x = x_ref[0]                                   # (QB, LAT) f32
-    if saves_out is not None:
+    if saves_out is not None and save_every == 1:
+        # dense saves: every layer writes its own block — unconditional
+        # store. Do NOT wrap this in pl.when: a trivially-true
+        # `pl.when(l % 1 == 0)` around the store hung the TPU runtime
+        # (bisected 2026-08-17, tools/probe_dense_saves.py — this was the
+        # real cause of the historical "K=1 segmentation fault").
+        # bf16: the backward's (K,1,QB,LAT) saves block is double-buffered;
+        # f32 blew the 126M scoped-vmem cap by 476K (2026-08-17). bf16 also
+        # halves the ~2.8 GB/step of saves HBM traffic.
+        saves_out[0, 0] = x.astype(saves_out.dtype)
+    elif saves_out is not None:
         # checkpoint the layer-entry carry every `save_every` layers for the
         # backward megakernel (flow_layer_vjp_pallas); the block index map
         # is l // save_every, so non-multiple layers leave the buffer as the
@@ -463,12 +473,16 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
                  jax.ShapeDtypeStruct((b, n, 1), jnp.float32)]
     if save_every is not None:
         n_saves = -(-n_layers // save_every)
+        # save_every=1 gets the identity index map (no `l // 1` division —
+        # see the in-kernel dense-saves note)
+        idx_map = (
+            (lambda l, bi, nb: (l, bi, nb, 0)) if save_every == 1 else
+            (lambda l, bi, nb: (l // save_every, bi, nb, 0)))
         out_specs.append(pl.BlockSpec(
-            (1, 1, qb, lat),
-            lambda l, bi, nb: (l // save_every, bi, nb, 0),
-            memory_space=pltpu.VMEM))
-        out_shape.append(
-            jax.ShapeDtypeStruct((n_saves, b, n, lat), jnp.float32))
+            (1, 1, qb, lat), idx_map, memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_saves, b, n, lat),
+            jnp.bfloat16 if save_every == 1 else jnp.float32))
 
     outs = pl.pallas_call(
         kernel,

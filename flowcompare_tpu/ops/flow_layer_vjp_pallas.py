@@ -260,6 +260,18 @@ def _trainable_impl(n_cpl, eps_affine, x, ldj, context, extra, arrs):
     return z, ldj_out
 
 
+# Dense saves: the forward checkpoints EVERY layer's entry carry
+# (save_every=1, (L, B, N, LAT) bf16 ≈ 1.4 GB at full scale — HBM is the
+# cheap resource) so the backward reads its K carries straight from HBM
+# instead of re-running the K-layer chain forward — deleting one full
+# extra forward pass (~70 ms of the 432 ms flow grad) for a few ms of
+# HBM traffic. Historically this HUNG the TPU runtime; bisected
+# 2026-08-17 to a trivially-true `pl.when(l % 1 == 0)` around the saves
+# store in the forward kernel (fixed there). Flip to False to fall back
+# to sparse saves + in-kernel chain recompute.
+_DENSE_SAVES = True
+
+
 def _trainable_fwd(n_cpl, eps_affine, x, ldj, context, extra, arrs):
     L = arrs["lu_ldj_f"].shape[0]
     lat = arrs["lu_w_f"].shape[-1]
@@ -267,7 +279,7 @@ def _trainable_fwd(n_cpl, eps_affine, x, ldj, context, extra, arrs):
     run = arrs if pad == 0 else _pad_identity_layers(arrs, pad, lat)
     z, ldj_out, saves = fused_flow_layers(
         x, ldj, context, extra, {**run, "n_cpl": n_cpl},
-        eps_affine=eps_affine, save_every=_K_SEG)
+        eps_affine=eps_affine, save_every=1 if _DENSE_SAVES else _K_SEG)
     return (z, ldj_out), (saves, context, extra, arrs)
 
 
@@ -308,9 +320,12 @@ def flow_layers_bwd(saves, dz, dldj, context, extra, arrs, n_cpl, *,
     has_extra = extra is not None
     flat = _flatten_folded(arrs, n_cpl, has_attn)
     L = flat["lu_ldj_f"].shape[0]  # (L,1,1); kernel never sees it
-    # segment spacing comes from the saves layout so fwd and bwd can never
-    # disagree (saves: (L/K, B, N, LAT))
-    K = L // saves.shape[0]
+    # saves layout decides the mode: (L, ...) = dense (every layer's entry
+    # carry is in HBM; segmentation decoupled from the layout, no chain
+    # recompute), (L/K, ...) = sparse (one carry per segment; the kernel
+    # re-runs the K-layer chain forward to rebuild the rest).
+    dense = saves.shape[0] == L
+    K = _pick_segment(L) if dense else L // saves.shape[0]
     S = L // K
     n_pre = len(arrs["pre"]) if has_attn else 0
     split = lat // 2
@@ -324,7 +339,10 @@ def flow_layers_bwd(saves, dz, dldj, context, extra, arrs, n_cpl, *,
     inputs = [saves, dldj.astype(jnp.float32)[..., None],
               context.astype(bf)]
     in_specs = [
-        pl.BlockSpec((1, 1, qb, lat),
+        # dense mode streams the whole segment's K carries as one block
+        # (block index (S-1-s) * block-size K = the segment's layer span);
+        # sparse mode streams only the segment-entry carry.
+        pl.BlockSpec(((K if dense else 1), 1, qb, lat),
                      lambda s, bi, nb: (S - 1 - s, bi, nb, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, qb, 1), lambda s, bi, nb: (bi, nb, 0),
@@ -387,7 +405,8 @@ def flow_layers_bwd(saves, dz, dldj, context, extra, arrs, n_cpl, *,
 
     kernel = functools.partial(
         _bwd_kernel_impl, n_pre=n_pre, n_cpl=n_cpl, has_attn=has_attn,
-        has_extra=has_extra, split=split, eps_affine=eps_affine, k_seg=K)
+        has_extra=has_extra, split=split, eps_affine=eps_affine, k_seg=K,
+        dense=dense)
 
     outs = pl.pallas_call(
         kernel,
@@ -396,7 +415,8 @@ def flow_layers_bwd(saves, dz, dldj, context, extra, arrs, n_cpl, *,
         out_specs=out_specs,
         out_shape=out_shapes,
         input_output_aliases={dz_index: 0},
-        scratch_shapes=[pltpu.VMEM((K, qb, lat), jnp.float32)],
+        scratch_shapes=([] if dense else
+                        [pltpu.VMEM((K, qb, lat), jnp.float32)]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,
@@ -414,9 +434,12 @@ def flow_layers_bwd(saves, dz, dldj, context, extra, arrs, n_cpl, *,
 
 
 def _bwd_kernel_impl(*refs, n_pre, n_cpl, has_attn, has_extra, split,
-                     eps_affine, k_seg):
-    x_stash = refs[-1]
-    refs = refs[:-1]
+                     eps_affine, k_seg, dense):
+    if dense:
+        x_stash = None
+    else:
+        x_stash = refs[-1]
+        refs = refs[:-1]
     it = iter(refs)
     saves_ref = next(it)
     dldj_ref = next(it)
@@ -456,13 +479,16 @@ def _bwd_kernel_impl(*refs, n_pre, n_cpl, has_attn, has_extra, split,
         _layer_fwd_math, n_pre=n_pre, n_cpl=n_cpl, has_attn=has_attn,
         has_extra=has_extra, split=split, eps_affine=eps_affine)
 
-    # chain pass: stash the K per-layer input carries for this block
-    def chain_body(k, x):
-        x_stash[pl.ds(k, 1)] = x[None]
-        z, _ = fwd(wk_at(k), x, ctx, extra)
-        return z
+    if not dense:
+        # chain pass: stash the K per-layer input carries for this block
+        # (dense mode skips this — every carry is already in saves_ref)
+        def chain_body(k, x):
+            x_stash[pl.ds(k, 1)] = x[None]
+            z, _ = fwd(wk_at(k), x, ctx, extra)
+            return z
 
-    jax.lax.fori_loop(0, k_seg, chain_body, saves_ref[0, 0], unroll=False)
+        jax.lax.fori_loop(0, k_seg, chain_body, saves_ref[0, 0],
+                          unroll=False)
 
     first_of_slab = jnp.logical_and(bi == 0, nb == 0)
 
@@ -476,7 +502,13 @@ def _bwd_kernel_impl(*refs, n_pre, n_cpl, has_attn, has_extra, split,
     def bwd_body(i, carry):
         dz, dctx_acc, dextra_acc = carry
         k = k_seg - 1 - i
-        x = x_stash[pl.ds(k, 1)][0]
+        if dense:
+            # bf16 in HBM (vmem-cap + bandwidth; see the fwd kernel's
+            # saves store); the vjp point is the rounded carry — same
+            # order of error as the kernel's own bf16 matmuls
+            x = saves_ref[pl.ds(k, 1)][0, 0].astype(jnp.float32)
+        else:
+            x = x_stash[pl.ds(k, 1)][0]
         wk = wk_at(k)
         if has_extra:
             _, vjp = jax.vjp(fwd, wk, x, ctx, extra)
