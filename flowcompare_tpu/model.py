@@ -613,6 +613,12 @@ def inner_loop(model: FlowCompareModel, params, state, batch, *,
     extract_0, extract_1, extra_context = batch
     extract_0 = extract_0[..., : model.input_dim]
     extract_1 = extract_1[..., : model.input_dim]
+    if not c["using_extra_context"]:
+        # the reference threads extra_context only when the config enables
+        # it (model_initialization.py:33-45 derives using_extra_context;
+        # inner_loop :211-213 repeats it conditionally) — a no-extra preset
+        # fed a batch that carries the tensor must ignore it, not concat it
+        extra_context = None
     if extra_context is not None:
         extra_context = jnp.broadcast_to(
             extra_context[:, None, :],
@@ -633,6 +639,8 @@ def make_sample(model: FlowCompareModel, params, state, key: jax.Array,
     """Generative pass (reference make_sample, model_initialization.py:231-245)."""
     extract_0 = extract_0[..., : model.input_dim]
     emb, _ = model.embed(params, state, extract_0, training=False)
+    if not model.config["using_extra_context"]:
+        extra_context = None  # see inner_loop — config-gated like the reference
     if extra_context is not None:
         extra_context = jnp.broadcast_to(
             extra_context[:, None, :],

@@ -65,6 +65,32 @@ def test_inner_loop_runs_and_is_finite(overrides):
     assert np.isfinite(float(nats))
 
 
+def test_no_extra_preset_ignores_supplied_extra_tensor():
+    """A no-extra-context config fed a batch that still carries the extra
+    tensor (eval loaders always emit it) must ignore it — the reference
+    threads extra_context only when the config enables it
+    (model_initialization.py:33-45, :211-213)."""
+    cfg = tiny_config(extra_z_value_context=False)
+    assert not cfg["using_extra_context"]
+    model = FlowCompareModel(cfg)
+    params, state = model.init_params(jax.random.PRNGKey(0))
+    extract_0, extract_1, _ = _batch(cfg)
+    extra = jax.random.normal(jax.random.PRNGKey(7), (2, 1))
+    out_with = inner_loop(model, params, state,
+                          (extract_0, extract_1, extra),
+                          rng=jax.random.PRNGKey(1))
+    out_none = inner_loop(model, params, state,
+                          (extract_0, extract_1, None),
+                          rng=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(out_with[1]),
+                                  np.asarray(out_none[1]))
+    s_with = make_sample(model, params, state, jax.random.PRNGKey(9), 16,
+                         extract_0, extra)
+    s_none = make_sample(model, params, state, jax.random.PRNGKey(9), 16,
+                         extract_0, None)
+    np.testing.assert_array_equal(np.asarray(s_with), np.asarray(s_none))
+
+
 def test_flow_core_is_bijective():
     """Deterministic core (post-augmenter): inverse(forward(x)) == x."""
     cfg = tiny_config()
