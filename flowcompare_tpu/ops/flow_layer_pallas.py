@@ -46,19 +46,43 @@ _ROW_CHUNKS = 2
 # "nocpl_hidden". Consulted when the kernel is TRACED, so set before jit.
 ABLATE: frozenset = frozenset()
 
+# Softmax stabilizer: True = standard max-subtraction (a (QB, Nc) cross-lane
+# VPU reduction per layer); False = clamp scores at 80 instead (elementwise,
+# cheaper) — exact whenever max score < 80 (f32 exp overflows at 88; even a
+# full 1250-wide row of clamped scores sums to 6.9e37 < f32 max, so no
+# overflow/NaN is possible either way), and the e@v / ones-column division
+# cancels any constant anyway. Production False: +0.8% same-worker, nats
+# shift 2e-5 (save/bench/ab_gelu_guarded.json). Trace-time.
+_SOFTMAX_MAX = False
+
+# GELU logit-poly degree-2 variant (core/mlp._GELU_LOGIT_POLY_DEG2, max err
+# 2.5e-5 vs deg-4's 3.2e-6): 2 fewer FMA passes per element, at the cost of
+# one u-clamp (deg-2's tail is unsafe un-clamped — see core/mlp). Production
+# True: 272.2k vs 260.7k points/sec same-worker (+4.4%), full-depth nats
+# delta -0.0016 vs the +-0.01 budget (save/bench/ab_gelu_guarded.json;
+# the kernel is VPU-bound on GELU — save/bench/ablate_kernel.json — so
+# cheaper GELU converts ~1:1 to step time). Trace-time.
+_GELU_DEG2 = True
+
 
 def _gelu(x):
     """Fast erf GELU — core/mlp.gelu's logit-space form (shared
-    coefficients; sigmoid rides the TPU's fast exp unit), f32 in/out."""
+    coefficients; sigmoid rides the TPU's fast exp unit; no input clamp —
+    see core/mlp.gelu for why the tail is safe), f32 in/out."""
     if "nogelu" in ABLATE:
         return x * 1.0000001  # keep a flop so XLA can't fold the chain away
-    from ..core.mlp import _GELU_LOGIT_POLY
-    xc = jnp.clip(x, -5.5, 5.5)
-    u = xc * xc
-    p = jnp.float32(_GELU_LOGIT_POLY[-1])
-    for c in _GELU_LOGIT_POLY[-2::-1]:
+    from ..core.mlp import _GELU_LOGIT_POLY, _GELU_LOGIT_POLY_DEG2
+    poly = _GELU_LOGIT_POLY_DEG2 if _GELU_DEG2 else _GELU_LOGIT_POLY
+    u = x * x
+    if _GELU_DEG2:
+        # deg-2's leading coeff is negative -> p flips sign at u≈123.6;
+        # clamp u so the logit saturates on the CORRECT branch (see
+        # core/mlp._GELU_LOGIT_POLY_DEG2). One extra VPU op, tail-exact.
+        u = jnp.minimum(u, 100.0)
+    p = jnp.float32(poly[-1])
+    for c in poly[-2::-1]:
         p = p * u + c
-    return x * jax.nn.sigmoid(p * xc)
+    return x * jax.nn.sigmoid(p * x)
 
 
 def _mlp_rest(h, weights, biases, n_total):
@@ -190,8 +214,11 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
                  + bq_f[0][0].astype(jnp.float32))  # 1/sqrt(d) folded
             s = jnp.dot(q.astype(jnp.bfloat16), kb,
                         preferred_element_type=jnp.float32)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = (s - m) if "noexp" in ABLATE else jnp.exp(s - m)
+            if _SOFTMAX_MAX:
+                sm = s - jnp.max(s, axis=-1, keepdims=True)
+            else:
+                sm = jnp.minimum(s, 80.0)
+            e = sm if "noexp" in ABLATE else jnp.exp(sm)
             av = jnp.dot(e.astype(jnp.bfloat16), v1b,
                          preferred_element_type=jnp.float32)
             a = av[:, :d] / av[:, d:d + 1]          # normalize AFTER pv

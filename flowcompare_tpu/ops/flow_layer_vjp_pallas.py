@@ -43,6 +43,13 @@ from .flow_layer_pallas import _gelu, fold_stacks, fused_flow_layers
 
 _QB_BWD = 512  # backward holds a layer's vjp residuals live; 1024-row blocks spill VMEM even at K=2 (tried 2026-08-17)
 
+# Independent row chunks per layer-vjp (the backward counterpart of
+# flow_layer_pallas._ROW_CHUNKS): each chunk's recompute+backward chain is
+# data-independent, letting Mosaic overlap one chunk's VPU tail (GELU and
+# its derivative, softmax, sigmoid) with the other's MXU matmuls. Weight
+# grads accumulate across chunks. 1 = off. Trace-time.
+_ROW_CHUNKS_BWD = 1
+
 
 def _pick_segment(n_layers: int, k_max: int = 4) -> int:
     """Largest checkpoint spacing <= k_max that divides the layer count."""
@@ -510,14 +517,30 @@ def _bwd_kernel_impl(*refs, n_pre, n_cpl, has_attn, has_extra, split,
         else:
             x = x_stash[pl.ds(k, 1)][0]
         wk = wk_at(k)
-        if has_extra:
-            _, vjp = jax.vjp(fwd, wk, x, ctx, extra)
-            dwk, dx, dctx_k, dextra_k = vjp((dz, dldj))
-        else:
-            _, vjp = jax.vjp(lambda w, xx, cc: fwd(w, xx, cc, None),
-                             wk, x, ctx)
-            dwk, dx, dctx_k = vjp((dz, dldj))
-            dextra_k = None
+        n_rows = x.shape[0]
+        n_chunks = (_ROW_CHUNKS_BWD if n_rows % _ROW_CHUNKS_BWD == 0 else 1)
+        step = n_rows // n_chunks
+        dwk = dx = dctx_k = dextra_k = None
+
+        def wsum(a, b):
+            return b if a is None else jax.tree_util.tree_map(jnp.add, a, b)
+
+        def rcat(a, b):
+            return b if a is None else jnp.concatenate([a, b], 0)
+
+        for c in range(n_chunks):
+            rows = slice(c * step, (c + 1) * step)
+            if has_extra:
+                _, vjp = jax.vjp(fwd, wk, x[rows], ctx, extra[rows])
+                dwk_c, dx_c, dctx_c, dextra_c = vjp((dz[rows], dldj[rows]))
+                dextra_k = rcat(dextra_k, dextra_c)
+            else:
+                _, vjp = jax.vjp(lambda w, xx, cc: fwd(w, xx, cc, None),
+                                 wk, x[rows], ctx)
+                dwk_c, dx_c, dctx_c = vjp((dz[rows], dldj[rows]))
+            dwk = wsum(dwk, dwk_c)
+            dctx_k = wsum(dctx_k, dctx_c)
+            dx = rcat(dx, dx_c)
 
         dflat = {
             "cpl_in_xe": dwk["cpl_in_xe"], "cpl_in_c": dwk["cpl_in_c"],
