@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 A100_BASELINE_POINTS_PER_SEC = 75_000.0
-CHUNK = 10         # batches per compiled dispatch
+# batches per compiled dispatch (amortises the ~25 ms tunnel round-trip)
+CHUNK = int(os.environ.get("FLOWCOMPARE_BENCH_CHUNK", "10"))
 N_CHUNKS = 3       # timed chunks
 
 
@@ -92,7 +93,7 @@ def main():
 
     points_per_sec = CHUNK * batch_size * cfg["sample_size"] / dt
     print(json.dumps({
-        "metric": f"points/sec/chip (nats eval, {preset}, 10-batch chunks)",
+        "metric": f"points/sec/chip (nats eval, {preset}, {CHUNK}-batch chunks)",
         "value": round(points_per_sec, 1),
         "unit": "points/sec",
         "vs_baseline": round(points_per_sec / A100_BASELINE_POINTS_PER_SEC, 3),

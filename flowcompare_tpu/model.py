@@ -540,6 +540,27 @@ class FlowCompareModel:
         layer_keys, final_key, key = self._layer_keys(key)
         z = normal_sample(key, (num_samples, n_points, self.latent_dim), 0.0,
                           sample_std)
+
+        if self._can_fuse_layers():
+            # sampling megakernel: the final block and all layers run in one
+            # REVERSE kernel (same conditioner math as the forward kernel,
+            # ActNorm+LinearLU pre-inverted host-side)
+            from .ops.flow_layer_pallas import (
+                append_final_block, build_layer_stacks, fold_stacks,
+                fold_stacks_inverse, fused_flow_layers_inverse)
+            layers = self._prepare_layers(params["layers"])
+            stacks = append_final_block(
+                build_layer_stacks(self, layers), params["final_block"],
+                self.latent_dim)
+            folded = fold_stacks(
+                stacks, split=self.latent_dim // 2,
+                extra_dim=(extra_context.shape[-1]
+                           if extra_context is not None else 0))
+            z = fused_flow_layers_inverse(
+                z, context, extra_context,
+                fold_stacks_inverse(stacks, folded))
+            return z[..., : self.input_dim]
+
         z = self._block_inv(params["final_block"], z, context, extra_context,
                             final_key)
         layers = self._prepare_layers(params["layers"], inverse=True)

@@ -64,6 +64,34 @@ _SOFTMAX_MAX = False
 # cheaper GELU converts ~1:1 to step time). Trace-time.
 _GELU_DEG2 = True
 
+# How the logit is turned into x*sigmoid(logit) — all three are the same
+# function in real arithmetic; they differ only in VPU op count:
+#   "sigmoid": x * jax.nn.sigmoid(p(u)*x)            (whatever logistic
+#              lowers to on the backend — the round-1/2 production form)
+#   "exp2":    x / (1 + exp2(q(u)*x)), q = -log2(e)*p  (constant folded into
+#              the poly coefficients at trace time; one exp2 + one divide,
+#              no separate negate/scale/final-multiply)
+#   "tanh":    xh + xh*tanh(r(u)*x), r = p/2, xh = x/2  (no divide at all,
+#              if the backend has a fast tanh)
+# Trace-time, A/B'd by tools/ab_kernel_flags.py.
+_GELU_FORM = "sigmoid"
+
+# Softmax in log2 space: scale q by log2(e) right after the wq matmul (a
+# (QB, d) pass) so the exp over the (QB, Nc) score matrix — the largest
+# elementwise tensor in the kernel — is a raw hardware exp2 with no
+# per-element *log2(e) rescale. Exactly equal in real arithmetic: softmax
+# is base-invariant once the scores are scaled (the e@v ones-column divide
+# cancels any consistent base). Clamp constant becomes 80*log2(e).
+_SOFTMAX_EXP2 = False
+
+# Coupling input layer as ONE matmul on concat([x1, extra, cond]) instead of
+# the folded two-matmul sum: the contraction goes from pad(151)=256 +
+# pad(64)=128 = 384 effective lanes to pad(151+64=215)=256 — a 3.8% cut of
+# the kernel's padded FLOPs (see the per-stage census in the round-2 notes)
+# at the cost of one (QB, 215) lane-concat relayout per layer. Weight stacks
+# are pre-concatenated host-side in fused_flow_layers. Trace-time.
+_CPL_IN_CONCAT = False
+
 
 def _gelu(x):
     """Fast erf GELU — core/mlp.gelu's logit-space form (shared
@@ -73,6 +101,13 @@ def _gelu(x):
         return x * 1.0000001  # keep a flop so XLA can't fold the chain away
     from ..core.mlp import _GELU_LOGIT_POLY, _GELU_LOGIT_POLY_DEG2
     poly = _GELU_LOGIT_POLY_DEG2 if _GELU_DEG2 else _GELU_LOGIT_POLY
+    # _GELU_FORM scale constants fold into the poly coefficients for free
+    # at trace time (see the flag comment for the algebra; all forms are
+    # exactly x*sigmoid(p(u)*x) in real arithmetic).
+    scale = {"sigmoid": 1.0,
+             "exp2": -math.log2(math.e),
+             "tanh": 0.5}[_GELU_FORM]
+    poly = tuple(c * scale for c in poly)
     u = x * x
     if _GELU_DEG2:
         # deg-2's leading coeff is negative -> p flips sign at u≈123.6;
@@ -82,6 +117,13 @@ def _gelu(x):
     p = jnp.float32(poly[-1])
     for c in poly[-2::-1]:
         p = p * u + c
+    if _GELU_FORM == "exp2":
+        # tails: clamped |p|>=1.97 for |x|>=10, so exp2 under/overflows to
+        # 0/inf and x/(1+e) lands on the exact 0 / x GELU limits
+        return x / (1.0 + jnp.exp2(p * x))
+    if _GELU_FORM == "tanh":
+        xh = 0.5 * x
+        return xh + xh * jnp.tanh(p * x)
     return x * jax.nn.sigmoid(p * x)
 
 
@@ -143,8 +185,11 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
         pre_w = [(next(it), next(it)) for _ in range(n_pre)]
         wq_f, bq_f = next(it), next(it)
         wkv = next(it)
-    cpl_in_xe = next(it)      # (1, split+extra, H) bf16
-    cpl_in_c = next(it)       # (1, D|E, H) bf16 (attn: wout-folded)
+    if _CPL_IN_CONCAT:
+        cpl_in_xec = next(it)  # (1, split+extra+D|E, H) bf16, pre-concat
+    else:
+        cpl_in_xe = next(it)  # (1, split+extra, H) bf16
+        cpl_in_c = next(it)   # (1, D|E, H) bf16 (attn: wout-folded)
     cpl_in_b = next(it)       # (1, 1, H) f32
     cpl_w = [(next(it), next(it)) for _ in range(n_cpl - 1)]
     lu_w = next(it)           # (1, LAT, LAT) bf16 (ActNorm+L@U folded)
@@ -212,13 +257,19 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
             q = (jnp.dot(qn.astype(jnp.bfloat16), wq_f[0],
                          preferred_element_type=jnp.float32)
                  + bq_f[0][0].astype(jnp.float32))  # 1/sqrt(d) folded
+            if _SOFTMAX_EXP2:
+                q = q * jnp.float32(math.log2(math.e))
             s = jnp.dot(q.astype(jnp.bfloat16), kb,
                         preferred_element_type=jnp.float32)
+            clamp = 80.0 * math.log2(math.e) if _SOFTMAX_EXP2 else 80.0
             if _SOFTMAX_MAX:
                 sm = s - jnp.max(s, axis=-1, keepdims=True)
             else:
-                sm = jnp.minimum(s, 80.0)
-            e = sm if "noexp" in ABLATE else jnp.exp(sm)
+                sm = jnp.minimum(s, jnp.float32(clamp))
+            if "noexp" in ABLATE:
+                e = sm
+            else:
+                e = jnp.exp2(sm) if _SOFTMAX_EXP2 else jnp.exp(sm)
             av = jnp.dot(e.astype(jnp.bfloat16), v1b,
                          preferred_element_type=jnp.float32)
             a = av[:, :d] / av[:, d:d + 1]          # normalize AFTER pv
@@ -229,10 +280,16 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
             # global conditioner: the broadcast embedding IS the context
             cond_op = ctx_ref[0][rows]              # (rows, E) bf16
 
-        # coupling MLP input layer as a folded two-matmul sum
-        acc = jnp.dot(x1e, cpl_in_xe[0], preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(cond_op, cpl_in_c[0],
-                            preferred_element_type=jnp.float32)
+        # coupling MLP input layer: folded two-matmul sum, or one matmul on
+        # the lane-concat (saves a 128-lane padded contraction — see flag)
+        if _CPL_IN_CONCAT:
+            acc = jnp.dot(jnp.concatenate([x1e, cond_op], axis=-1),
+                          cpl_in_xec[0], preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.dot(x1e, cpl_in_xe[0],
+                          preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(cond_op, cpl_in_c[0],
+                                preferred_element_type=jnp.float32)
         h = _gelu(acc + cpl_in_b[0][0]).astype(jnp.bfloat16)
         st = _mlp_rest(h, [(w[0],) for w, _ in cpl_w],
                        [(b[0],) for _, b in cpl_w], n_cpl)
@@ -475,8 +532,12 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
         add_stacked(stacks["wq_f"])
         add_stacked(stacks["bq_f"], jnp.float32)
         add_stacked(stacks["wkv"])
-    add_stacked(stacks["cpl_in_xe"])
-    add_stacked(stacks["cpl_in_c"])
+    if _CPL_IN_CONCAT:
+        add_stacked(jnp.concatenate(
+            [stacks["cpl_in_xe"], stacks["cpl_in_c"]], axis=1))
+    else:
+        add_stacked(stacks["cpl_in_xe"])
+        add_stacked(stacks["cpl_in_c"])
     add_stacked(stacks["cpl_in_b"], jnp.float32)
     for w, bb in stacks["cpl_rest"]:
         add_stacked(w)
@@ -528,6 +589,223 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
         return outs[0], outs[1][..., 0], outs[2]
     out_x, out_ldj = outs
     return out_x, out_ldj[..., 0]
+
+
+def fold_stacks_inverse(stacks: dict, folded: dict) -> dict:
+    """Extend fold_stacks() output with the INVERSE of the folded
+    ActNorm+LinearLU tail, for the sampling megakernel.
+
+    Forward tail: z = y @ lu_w_f.T + lu_b  (lu_w_f = lu_w ⊙ D over output
+    cols, lu_b = -(shift·D) @ lu_w.T, D = exp(-an_logscale)). Inverse:
+
+        y = z @ Minv.T + an_shift,   Minv = inv(lu_w) ⊙ exp(an_logscale)[:,None]
+
+    (row-scaled inverse: y_j = e^{ls_j}·(z @ inv(lu_w).T)_j + shift_j).
+    The batched 300x300 inverse runs once per sample dispatch in f32 —
+    ~10 GFLOP against the multi-TFLOP sampling pass it unlocks."""
+    lu_w = stacks["lu_w"].astype(jnp.float32)            # (L, LAT, LAT)
+    inv_w = jnp.linalg.inv(lu_w)
+    ls = stacks["an_logscale"].astype(jnp.float32)[:, 0]  # (L, LAT)
+    out = dict(folded)
+    out["lu_w_inv_f"] = inv_w * jnp.exp(ls)[:, :, None]
+    out["lu_shift"] = stacks["an_shift"].astype(jnp.float32)[:, 0][:, None]
+    return out
+
+
+def _kernel_inverse(*refs, n_pre: int, n_cpl: int, has_extra: bool,
+                    has_attn: bool, split: int, eps_affine: float):
+    """One REVERSE (layer, batch-item, query-block) step of the sampling
+    megakernel: undo the ActNorm+LinearLU tail (pre-inverted matmul), then
+    the affine coupling (x1 passes through, so the conditioner math is
+    IDENTICAL to the forward kernel's; only the epilogue divides instead of
+    multiplying). No ldj — sampling doesn't need it (transform.py:79-84).
+    Layer reversal lives in the BlockSpec index maps, not here."""
+    it = iter(refs)
+    z_ref = next(it)          # (1, QB, LAT) f32   [aliased out]
+    ctx_ref = next(it)        # attn: (1, Nc, E); global: (1, QB, E) bf16
+    extra_ref = next(it) if has_extra else None
+    if has_attn:
+        pre_w = [(next(it), next(it)) for _ in range(n_pre)]
+        wq_f, bq_f = next(it), next(it)
+        wkv = next(it)
+    if _CPL_IN_CONCAT:
+        cpl_in_xec = next(it)
+    else:
+        cpl_in_xe = next(it)
+        cpl_in_c = next(it)
+    cpl_in_b = next(it)
+    cpl_w = [(next(it), next(it)) for _ in range(n_cpl - 1)]
+    lu_w_inv = next(it)       # (1, LAT, LAT) bf16 (row-scaled inverse)
+    lu_shift = next(it)       # (1, 1, LAT) f32 (ActNorm shift)
+    x_out = next(it)
+
+    z = z_ref[0]                                   # (QB, LAT) f32
+
+    if has_attn:
+        ctx = ctx_ref[0]
+        kv = jnp.dot(ctx, wkv[0], preferred_element_type=jnp.float32)
+        d = wq_f[0].shape[-1]
+        k = kv[:, :d]
+        v = kv[:, d:]
+        v1 = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], -1)
+        kb = k.astype(jnp.bfloat16).T
+        v1b = v1.astype(jnp.bfloat16)
+
+    def run_rows(rows):
+        zr = z[rows]
+        # undo ActNorm + LinearLU first (reverse of the forward tail)
+        y = (jnp.dot(zr.astype(jnp.bfloat16), lu_w_inv[0].T,
+                     preferred_element_type=jnp.float32)
+             + lu_shift[0][0])
+        x1 = y[:, :split]
+        y2 = y[:, split:]
+        x1b = x1.astype(jnp.bfloat16)
+        if has_extra:
+            x1e = jnp.concatenate([x1b, extra_ref[0][rows]], axis=-1)
+        else:
+            x1e = x1b
+
+        # conditioner: same math as the forward kernel (x1 is unchanged by
+        # the coupling, so st is computed from the SAME inputs either way)
+        if has_attn:
+            q_in = _mlp(x1b, [(w[0],) for w, _ in pre_w],
+                        [(b[0],) for _, b in pre_w])
+            mean = jnp.mean(q_in, axis=-1, keepdims=True)
+            var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
+            qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
+            q = (jnp.dot(qn.astype(jnp.bfloat16), wq_f[0],
+                         preferred_element_type=jnp.float32)
+                 + bq_f[0][0].astype(jnp.float32))
+            if _SOFTMAX_EXP2:
+                q = q * jnp.float32(math.log2(math.e))
+            s = jnp.dot(q.astype(jnp.bfloat16), kb,
+                        preferred_element_type=jnp.float32)
+            clamp = 80.0 * math.log2(math.e) if _SOFTMAX_EXP2 else 80.0
+            if _SOFTMAX_MAX:
+                sm = s - jnp.max(s, axis=-1, keepdims=True)
+            else:
+                sm = jnp.minimum(s, jnp.float32(clamp))
+            e = jnp.exp2(sm) if _SOFTMAX_EXP2 else jnp.exp(sm)
+            av = jnp.dot(e.astype(jnp.bfloat16), v1b,
+                         preferred_element_type=jnp.float32)
+            a = av[:, :d] / av[:, d:d + 1]
+            cond_op = a.astype(jnp.bfloat16)
+        else:
+            cond_op = ctx_ref[0][rows]
+
+        if _CPL_IN_CONCAT:
+            acc = jnp.dot(jnp.concatenate([x1e, cond_op], axis=-1),
+                          cpl_in_xec[0], preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.dot(x1e, cpl_in_xe[0],
+                          preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(cond_op, cpl_in_c[0],
+                                preferred_element_type=jnp.float32)
+        h = _gelu(acc + cpl_in_b[0][0]).astype(jnp.bfloat16)
+        st = _mlp_rest(h, [(w[0],) for w, _ in cpl_w],
+                       [(b[0],) for _, b in cpl_w], n_cpl)
+
+        x2_size = st.shape[-1] // 2
+        s_raw = st[:, :x2_size]
+        t = st[:, x2_size:]
+        sc = (2.0 * jax.nn.sigmoid(s_raw) - 1.0) * (1.0 - eps_affine) + 1.0
+        x2 = (y2 - t) / sc                           # inverted affine
+        x_out[0, rows] = jnp.concatenate([x1, x2], axis=-1)
+
+    n_rows = z.shape[0]
+    n_chunks = _ROW_CHUNKS if n_rows % _ROW_CHUNKS == 0 else 1
+    step = n_rows // n_chunks
+    for c in range(n_chunks):
+        run_rows(slice(c * step, (c + 1) * step))
+
+
+def fused_flow_layers_inverse(z: jnp.ndarray, context: jnp.ndarray,
+                              extra: Optional[jnp.ndarray], folded_inv: dict,
+                              *, eps_affine: float = 1e-8,
+                              interpret: bool = False):
+    """Run the stacked layers in REVERSE over z (sampling direction).
+
+    `folded_inv` is fold_stacks_inverse() output: the forward folded stacks
+    plus "lu_w_inv_f"/"lu_shift". The layer axis is walked backwards purely
+    through the weight-stack BlockSpec index maps (grid step l reads layer
+    L-1-l), so the carry aliasing pattern is identical to the forward
+    kernel. Returns x with the same shape as z; no ldj."""
+    b, n, lat = z.shape
+    n_layers = folded_inv["lu_w_inv_f"].shape[0]
+    nc, e_dim = context.shape[1], context.shape[2]
+    split = lat // 2
+    has_attn = "wq_f" in folded_inv and folded_inv["wq_f"] is not None
+    has_extra = extra is not None
+
+    qb = _Q_BLOCK if n % _Q_BLOCK == 0 else math.gcd(n, _Q_BLOCK)
+    grid = (n_layers, b, n // qb)
+    last = n_layers - 1
+
+    bf = jnp.bfloat16
+    inputs = [z.astype(jnp.float32), context.astype(bf)]
+    ctx_spec = (pl.BlockSpec((1, nc, e_dim), lambda l, bi, nb: (bi, 0, 0),
+                             memory_space=pltpu.VMEM) if has_attn else
+                pl.BlockSpec((1, qb, e_dim), lambda l, bi, nb: (bi, nb, 0),
+                             memory_space=pltpu.VMEM))
+    in_specs = [
+        pl.BlockSpec((1, qb, lat), lambda l, bi, nb: (bi, nb, 0),
+                     memory_space=pltpu.VMEM),
+        ctx_spec,
+    ]
+    if has_extra:
+        inputs.append(extra.astype(bf))
+        in_specs.append(pl.BlockSpec((1, qb, extra.shape[-1]),
+                                     lambda l, bi, nb: (bi, nb, 0),
+                                     memory_space=pltpu.VMEM))
+
+    def add_stacked(arr, cast=bf):
+        arr = arr.astype(cast)
+        if arr.ndim == 2:
+            arr = arr[:, None, :]
+        blk = (1,) + arr.shape[1:]
+        inputs.append(arr)
+        in_specs.append(pl.BlockSpec(
+            blk, lambda l, bi, nb: (last - l,) + (0,) * (arr.ndim - 1),
+            memory_space=pltpu.VMEM))
+
+    if has_attn:
+        for w, bb in folded_inv["pre"]:
+            add_stacked(w)
+            add_stacked(bb)
+        add_stacked(folded_inv["wq_f"])
+        add_stacked(folded_inv["bq_f"], jnp.float32)
+        add_stacked(folded_inv["wkv"])
+    if _CPL_IN_CONCAT:
+        add_stacked(jnp.concatenate(
+            [folded_inv["cpl_in_xe"], folded_inv["cpl_in_c"]], axis=1))
+    else:
+        add_stacked(folded_inv["cpl_in_xe"])
+        add_stacked(folded_inv["cpl_in_c"])
+    add_stacked(folded_inv["cpl_in_b"], jnp.float32)
+    for w, bb in folded_inv["cpl_rest"]:
+        add_stacked(w)
+        add_stacked(bb)
+    add_stacked(folded_inv["lu_w_inv_f"])
+    add_stacked(folded_inv["lu_shift"], jnp.float32)
+
+    kernel = functools.partial(
+        _kernel_inverse, n_pre=len(folded_inv["pre"] or ()),
+        n_cpl=folded_inv["n_cpl"], has_extra=has_extra, has_attn=has_attn,
+        split=split, eps_affine=eps_affine)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, qb, lat), lambda l, bi, nb: (bi, nb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, lat), jnp.float32),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+    return out
 
 
 def append_final_block(stacks: dict, final_block: dict, lat: int) -> dict:

@@ -193,3 +193,120 @@ def test_folded_scan_core_matches_unfolded_logprob():
     flat_u, _ = ravel_pytree(g_u)
     np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_u),
                                atol=5e-4, rtol=5e-3)
+
+
+def test_gelu_forms_agree_to_fit_error():
+    """The three trace-time _GELU_FORM variants are the same function in
+    real arithmetic (the form constants fold into the poly coefficients);
+    each must sit within the deg-2 fit's own error bound of exact GELU and
+    stay finite/limit-correct on extreme tails."""
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+
+    x = jnp.asarray(
+        np.concatenate([np.linspace(-30, 30, 20001),
+                        [-1e30, 1e30, -12.0, 12.0, 0.0]]), jnp.float32)
+    exact = x * jax.scipy.stats.norm.cdf(x)
+    prod = flp._GELU_FORM
+    try:
+        for form in ("sigmoid", "exp2", "tanh"):
+            flp._GELU_FORM = form
+            y = flp._gelu(x)
+            assert bool(jnp.isfinite(y).all()), form
+            err = np.max(np.abs(np.asarray(y - exact)))
+            assert err < 3e-5, (form, err)  # deg-2 fit bound 2.6e-5
+    finally:
+        flp._GELU_FORM = prod
+
+
+def test_softmax_exp2_matches_exp_softmax():
+    """exp2(s*log2e) normalized == exp(s) normalized (base invariance of
+    softmax) — the algebra behind the _SOFTMAX_EXP2 kernel flag."""
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.normal(size=(64, 37)) * 5, jnp.float32)
+    e = jnp.exp(jnp.minimum(s, 80.0))
+    ref = e / jnp.sum(e, -1, keepdims=True)
+    log2e = np.log2(np.e)
+    e2 = jnp.exp2(jnp.minimum(s * log2e, 80.0 * log2e))
+    got = e2 / jnp.sum(e2, -1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=2e-7)
+
+
+def test_inverse_fold_round_trips_folded_scan():
+    """fold_stacks_inverse algebra: a plain-jnp mirror of the sampling
+    megakernel's per-layer body (inverse LU/ActNorm tail, shared
+    conditioner, divided affine) must invert folded_scan_core to f32
+    round-off at full tiny-model scale — validates every inverse fold
+    before the kernel ever runs on hardware."""
+    from flowcompare_tpu.core.mlp import gelu
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+
+    cfg = _bf16_cfg()
+    model = FlowCompareModel(cfg, remat=False)
+    params, _ = model.init_params(jax.random.PRNGKey(0))
+    prep = model._prepare_layers(params["layers"])
+    stacks = flp.append_final_block(
+        flp.build_layer_stacks(model, prep), params["final_block"],
+        cfg["latent_dim"])
+    folded = flp.fold_stacks(stacks, split=cfg["latent_dim"] // 2, extra_dim=1)
+    inv = flp.fold_stacks_inverse(stacks, folded)
+
+    B, N, LAT = 2, cfg["sample_size"], cfg["latent_dim"]
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x0 = jax.random.normal(ks[0], (B, N, LAT), jnp.float32)
+    ctx = jax.random.normal(ks[1], (B, cfg["n_samples_context"],
+                                    folded["wkv"].shape[1]), jnp.float32)
+    extra = jax.random.normal(ks[2], (B, N, 1), jnp.float32)
+
+    z, _ = flp.folded_scan_core(
+        x0, jnp.zeros((B, N)), ctx, extra, folded, nonlin=gelu, dtype=None,
+        remat=False)
+
+    # plain-jnp mirror of _kernel_inverse (f32), layers reversed
+    split = LAT // 2
+    n_layers = inv["lu_w_inv_f"].shape[0]
+    h = z
+    for l in reversed(range(n_layers)):
+        y = (jnp.einsum("bnj,ij->bni", h, inv["lu_w_inv_f"][l])
+             + inv["lu_shift"][l][0])
+        x1, y2 = y[..., :split], y[..., split:]
+        x1e = jnp.concatenate([x1, extra], -1)
+        pre = [(w[l], b[l]) for w, b in inv["pre"]]
+        q_in = gelu(x1e[..., :split] @ pre[0][0] + pre[0][1])
+        residual = q_in
+        for i, (w, b) in enumerate(pre[1:-1]):
+            if i % 2 == 0:
+                residual = q_in
+                q_in = gelu(q_in @ w + b)
+            else:
+                q_in = gelu(residual + q_in @ w + b)
+        q_in = q_in @ pre[-1][0] + pre[-1][1]
+        mean = jnp.mean(q_in, -1, keepdims=True)
+        var = jnp.mean(q_in * q_in, -1, keepdims=True) - mean * mean
+        qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
+        q = qn @ inv["wq_f"][l] + inv["bq_f"][l][0]
+        kv = ctx @ inv["wkv"][l]
+        d = q.shape[-1]
+        k, v = kv[..., :d], kv[..., d:]
+        s = jnp.einsum("bnd,bmd->bnm", q, k)
+        e = jnp.exp(s - jnp.max(s, -1, keepdims=True))
+        a = jnp.einsum("bnm,bmd->bnd", e, v) / jnp.sum(e, -1, keepdims=True)
+        acc = (x1e @ inv["cpl_in_xe"][l] + a @ inv["cpl_in_c"][l]
+               + inv["cpl_in_b"][l][0])
+        hh = gelu(acc)
+        residual = hh
+        rest = [(w[l], b[l]) for w, b in inv["cpl_rest"]]
+        for i, (w, b) in enumerate(rest[:-1]):
+            if i % 2 == 0:
+                residual = hh
+                hh = gelu(hh @ w + b)
+            else:
+                hh = gelu(residual + hh @ w + b)
+        st = hh @ rest[-1][0] + rest[-1][1]
+        half = st.shape[-1] // 2
+        sc = (2.0 * jax.nn.sigmoid(st[..., :half]) - 1.0) * (1.0 - 1e-8) + 1.0
+        x2 = (y2 - st[..., half:]) / sc
+        h = jnp.concatenate([x1, x2], -1)
+
+    err = float(jnp.max(jnp.abs(h - x0)))
+    assert err < 5e-3, err
