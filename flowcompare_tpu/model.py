@@ -464,14 +464,37 @@ class FlowCompareModel:
         return keys[1:self.n_layers], keys[self.n_layers], keys[0]
 
     def log_prob(self, params, x, context=None, extra_context=None,
-                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
-        """Per-point log p(x | context) of shape (B, N)."""
+                 rng: Optional[jax.Array] = None,
+                 training: bool = False) -> jnp.ndarray:
+        """Per-point log p(x | context) of shape (B, N).
+
+        training=True keeps every stage differentiable (the augmenter
+        prologue kernel is eval-only; the flow megakernel has its own
+        custom VJP and is used either way on the fused path)."""
         layer_keys, final_key, rng = self._layer_keys(rng)
-        x, ldj = self._augment_fwd(params["augmenter"], rng, x, context, extra_context)
+        fuse = self._can_fuse_layers()
+        from .ops import flow_layer_pallas as _flp
+        if (fuse and not training
+                and self.augmenter_kind == "conditional_attn"
+                and _flp._FUSE_AUGMENTER):
+            # fused augmenter prologue: same eps draw as normal_sample
+            # (identical key + shape), numerics match to bf16 rounding
+            aug_dim = self.latent_dim - self.input_dim
+            eps = jax.random.normal(
+                rng, (x.shape[0], x.shape[1], aug_dim), jnp.float32)
+            folded_aug = _flp.fold_augmenter(
+                params["augmenter"], input_dim=self.input_dim,
+                extra_dim=(extra_context.shape[-1]
+                           if extra_context is not None else 0))
+            x, ldj = _flp.fused_augmenter(x, eps, context, extra_context,
+                                          folded_aug)
+        else:
+            x, ldj = self._augment_fwd(params["augmenter"], rng, x, context,
+                                       extra_context)
         ldj = ldj.astype(jnp.float32)
         layers = self._prepare_layers(params["layers"])
 
-        if self._can_fuse_layers():
+        if fuse:
             from .ops.flow_layer_pallas import (
                 append_final_block, build_layer_stacks, fold_stacks)
             from .ops.flow_layer_vjp_pallas import fused_flow_layers_trainable
@@ -648,7 +671,8 @@ def inner_loop(model: FlowCompareModel, params, state, batch, *,
     if model.is_global:
         emb = jnp.broadcast_to(
             emb[:, None, :], (emb.shape[0], extract_1.shape[1], emb.shape[-1]))
-    log_prob = model.log_prob(params, extract_1, emb, extra_context, rng)
+    log_prob = model.log_prob(params, extract_1, emb, extra_context, rng,
+                              training=training)
     loss = -jnp.mean(log_prob)
     nats = loss * LOG2E / c["input_dim"]
     return loss, log_prob, nats, new_state

@@ -84,6 +84,12 @@ _GELU_FORM = "sigmoid"
 # cancels any consistent base). Clamp constant becomes 80*log2(e).
 _SOFTMAX_EXP2 = False
 
+# Fuse the attention-preconditioned augmenter into a Pallas prologue kernel
+# (fused_augmenter) on the fused eval path — ~4 ms/batch of un-fused XLA
+# dispatches otherwise. eps is drawn with the same key/shape normal_sample
+# uses, so the two paths see bit-identical noise. Trace-time.
+_FUSE_AUGMENTER = True
+
 # Coupling input layer as ONE matmul on concat([x1, extra, cond]) instead of
 # the folded two-matmul sum: the contraction goes from pad(151)=256 +
 # pad(64)=128 = 384 effective lanes to pad(151+64=215)=256 — a 3.8% cut of
@@ -157,6 +163,40 @@ def _mlp(h, weights, biases):
 
     h = _gelu(lin(h, 0)).astype(jnp.bfloat16)
     return _mlp_rest(h, weights[1:], biases[1:], len(weights))
+
+
+def _attention_cond(x1b, pre_w, wq_f, bq_f, kb, v1b, d):
+    """The shared attention-conditioner block of every megakernel: pre-MLP
+    (residual, _mlp), plain-stat LayerNorm (scale/bias folded into wq_f),
+    folded q projection, scores vs the precomputed k^T, clamp-80 softmax
+    (optionally in log2 space — _SOFTMAX_EXP2), and the e@v matmul with the
+    ones-column denominator. Returns the (rows, d) embedding in bf16 — the
+    out-projection is folded into the consumer's input matmul."""
+    q_in = _mlp(x1b, [(w[0],) for w, _ in pre_w],
+                [(b[0],) for _, b in pre_w])
+    mean = jnp.mean(q_in, axis=-1, keepdims=True)
+    var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
+    qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
+    q = (jnp.dot(qn.astype(jnp.bfloat16), wq_f[0],
+                 preferred_element_type=jnp.float32)
+         + bq_f[0][0].astype(jnp.float32))  # 1/sqrt(d) (and LN) folded
+    if _SOFTMAX_EXP2:
+        q = q * jnp.float32(math.log2(math.e))
+    s = jnp.dot(q.astype(jnp.bfloat16), kb,
+                preferred_element_type=jnp.float32)
+    clamp = 80.0 * math.log2(math.e) if _SOFTMAX_EXP2 else 80.0
+    if _SOFTMAX_MAX:
+        sm = s - jnp.max(s, axis=-1, keepdims=True)
+    else:
+        sm = jnp.minimum(s, jnp.float32(clamp))
+    if "noexp" in ABLATE:
+        e = sm
+    else:
+        e = jnp.exp2(sm) if _SOFTMAX_EXP2 else jnp.exp(sm)
+    av = jnp.dot(e.astype(jnp.bfloat16), v1b,
+                 preferred_element_type=jnp.float32)
+    a = av[:, :d] / av[:, d:d + 1]              # normalize AFTER pv
+    return a.astype(jnp.bfloat16)
 
 
 def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
@@ -248,32 +288,7 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
             x1e = x1b
 
         if has_attn and "noattn" not in ABLATE:
-            # pre-attention MLP + LayerNorm (f32 stats; scale/bias in wq_f)
-            q_in = _mlp(x1b, [(w[0],) for w, _ in pre_w],
-                        [(b[0],) for _, b in pre_w])
-            mean = jnp.mean(q_in, axis=-1, keepdims=True)
-            var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
-            qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
-            q = (jnp.dot(qn.astype(jnp.bfloat16), wq_f[0],
-                         preferred_element_type=jnp.float32)
-                 + bq_f[0][0].astype(jnp.float32))  # 1/sqrt(d) folded
-            if _SOFTMAX_EXP2:
-                q = q * jnp.float32(math.log2(math.e))
-            s = jnp.dot(q.astype(jnp.bfloat16), kb,
-                        preferred_element_type=jnp.float32)
-            clamp = 80.0 * math.log2(math.e) if _SOFTMAX_EXP2 else 80.0
-            if _SOFTMAX_MAX:
-                sm = s - jnp.max(s, axis=-1, keepdims=True)
-            else:
-                sm = jnp.minimum(s, jnp.float32(clamp))
-            if "noexp" in ABLATE:
-                e = sm
-            else:
-                e = jnp.exp2(sm) if _SOFTMAX_EXP2 else jnp.exp(sm)
-            av = jnp.dot(e.astype(jnp.bfloat16), v1b,
-                         preferred_element_type=jnp.float32)
-            a = av[:, :d] / av[:, d:d + 1]          # normalize AFTER pv
-            cond_op = a.astype(jnp.bfloat16)        # (rows, D)
+            cond_op = _attention_cond(x1b, pre_w, wq_f, bq_f, kb, v1b, d)
         elif has_attn:
             cond_op = x1b[:, :wkv[0].shape[-1] - wq_f[0].shape[-1]]
         else:
@@ -668,28 +683,7 @@ def _kernel_inverse(*refs, n_pre: int, n_cpl: int, has_extra: bool,
         # conditioner: same math as the forward kernel (x1 is unchanged by
         # the coupling, so st is computed from the SAME inputs either way)
         if has_attn:
-            q_in = _mlp(x1b, [(w[0],) for w, _ in pre_w],
-                        [(b[0],) for _, b in pre_w])
-            mean = jnp.mean(q_in, axis=-1, keepdims=True)
-            var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
-            qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
-            q = (jnp.dot(qn.astype(jnp.bfloat16), wq_f[0],
-                         preferred_element_type=jnp.float32)
-                 + bq_f[0][0].astype(jnp.float32))
-            if _SOFTMAX_EXP2:
-                q = q * jnp.float32(math.log2(math.e))
-            s = jnp.dot(q.astype(jnp.bfloat16), kb,
-                        preferred_element_type=jnp.float32)
-            clamp = 80.0 * math.log2(math.e) if _SOFTMAX_EXP2 else 80.0
-            if _SOFTMAX_MAX:
-                sm = s - jnp.max(s, axis=-1, keepdims=True)
-            else:
-                sm = jnp.minimum(s, jnp.float32(clamp))
-            e = jnp.exp2(sm) if _SOFTMAX_EXP2 else jnp.exp(sm)
-            av = jnp.dot(e.astype(jnp.bfloat16), v1b,
-                         preferred_element_type=jnp.float32)
-            a = av[:, :d] / av[:, d:d + 1]
-            cond_op = a.astype(jnp.bfloat16)
+            cond_op = _attention_cond(x1b, pre_w, wq_f, bq_f, kb, v1b, d)
         else:
             cond_op = ctx_ref[0][rows]
 
@@ -806,6 +800,188 @@ def fused_flow_layers_inverse(z: jnp.ndarray, context: jnp.ndarray,
         interpret=interpret,
     )(*inputs)
     return out
+
+
+def fold_augmenter(aug_params: dict, *, input_dim: int, extra_dim: int) -> dict:
+    """L=1 folded stacks for the fused augmenter prologue.
+
+    The attention-preconditioned augmenter (flows/augment.augment_attn_forward,
+    reference models/augmenter.py:7-21) has EXACTLY the flow-layer
+    conditioner shape — pre-MLP -> LayerNorm -> cross-attention ->
+    out-projection -> conditioner rows of an input matmul — so fold_stacks
+    applies verbatim with a leading length-1 layer axis (its LinearLU/ActNorm
+    folds run on 1x1 dummies and are dropped). The net's context layout
+    [x | extra | attn] matches the flow layers' [x1 | extra | attn]."""
+    def mlp_stack(p):
+        ws = [(p["in"]["w"][None], p["in"]["b"][None])]
+        for hid in p["hidden"]:
+            ws.append((hid["w"][None], hid["b"][None]))
+        ws.append((p["out"]["w"][None], p["out"]["b"][None]))
+        return ws
+
+    attn = aug_params["attn"]
+    z1 = jnp.zeros((1, 1, 1), jnp.float32)
+    stacks = {
+        "cpl": mlp_stack(aug_params["augment"]["net"]),
+        "pre": mlp_stack(aug_params["pre_attn_mlp"]),
+        "ln_scale": attn["norm"]["scale"][None, None, :],
+        "ln_bias": attn["norm"]["bias"][None, None, :],
+        "wq": attn["to_q"]["w"][None],
+        "wkv": attn["to_kv"]["w"][None],
+        "wout": attn["out"]["w"][None],
+        "bout": attn["out"]["b"][None, None, :],
+        "an_shift": z1,
+        "an_logscale": z1,
+        "lu_w": jnp.ones((1, 1, 1), jnp.float32),
+        "lu_ldj": jnp.zeros((1,), jnp.float32),
+    }
+    folded = fold_stacks(stacks, split=input_dim, extra_dim=extra_dim)
+    for k in ("lu_w_f", "lu_b", "lu_ldj_f"):
+        folded.pop(k, None)
+    return folded
+
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _augment_kernel(*refs, n_pre: int, n_net: int, has_extra: bool,
+                    aug_dim: int):
+    """Fused augmenter prologue: one (batch-item, query-block) grid step runs
+    pre-MLP -> attention -> ConditionalNormal net -> z2 = mean + eps*std and
+    ldj = -log q(z2) entirely in VMEM, emitting the (x ++ z2, ldj) pair the
+    flow megakernel consumes. eps is sampled by the caller with the same key
+    the XLA path hands to normal_sample, so both paths see identical noise."""
+    it = iter(refs)
+    x_ref = next(it)          # (1, QB, IN)  f32
+    eps_ref = next(it)        # (1, QB, AUG) f32
+    ctx_ref = next(it)        # (1, Nc, E)   bf16
+    extra_ref = next(it) if has_extra else None
+    pre_w = [(next(it), next(it)) for _ in range(n_pre)]
+    wq_f, bq_f = next(it), next(it)
+    wkv = next(it)
+    in_xe = next(it)
+    in_c = next(it)
+    in_b = next(it)
+    net_w = [(next(it), next(it)) for _ in range(n_net - 1)]
+    z_out = next(it)          # (1, QB, IN+AUG) f32
+    ldj_out = next(it)        # (1, QB, 1)      f32
+
+    x = x_ref[0]
+    ctx = ctx_ref[0]
+    kv = jnp.dot(ctx, wkv[0], preferred_element_type=jnp.float32)
+    d = wq_f[0].shape[-1]
+    k = kv[:, :d]
+    v = kv[:, d:]
+    v1 = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], -1)
+    kb = k.astype(jnp.bfloat16).T
+    v1b = v1.astype(jnp.bfloat16)
+
+    def run_rows(rows):
+        xr = x[rows]
+        xb = xr.astype(jnp.bfloat16)
+        x1e = (jnp.concatenate([xb, extra_ref[0][rows]], axis=-1)
+               if has_extra else xb)
+        cond = _attention_cond(xb, pre_w, wq_f, bq_f, kb, v1b, d)
+        acc = jnp.dot(x1e, in_xe[0], preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(cond, in_c[0], preferred_element_type=jnp.float32)
+        h = _gelu(acc + in_b[0][0]).astype(jnp.bfloat16)
+        st = _mlp_rest(h, [(w[0],) for w, _ in net_w],
+                       [(b[0],) for _, b in net_w], n_net)
+        mean = st[:, :aug_dim]
+        log_std = st[:, aug_dim:]
+        epsr = eps_ref[0][rows]
+        z2 = mean + epsr * jnp.exp(log_std)
+        # ldj = -log N(z2; mean, std) with (z2-mean)/std == eps exactly
+        ldj = jnp.sum(0.5 * _LOG_2PI + log_std + 0.5 * epsr * epsr, axis=-1)
+        z_out[0, rows] = jnp.concatenate([xr, z2], axis=-1)
+        ldj_out[0, rows] = ldj[:, None]
+
+    n_rows = x.shape[0]
+    n_chunks = _ROW_CHUNKS if n_rows % _ROW_CHUNKS == 0 else 1
+    step = n_rows // n_chunks
+    for c in range(n_chunks):
+        run_rows(slice(c * step, (c + 1) * step))
+
+
+def fused_augmenter(x: jnp.ndarray, eps: jnp.ndarray, context: jnp.ndarray,
+                    extra: Optional[jnp.ndarray], folded_aug: dict, *,
+                    interpret: bool = False):
+    """Run the fused augmenter prologue over (B, N) points.
+
+    Returns (z, ldj): z = (B, N, IN+AUG) f32 — the flow megakernel's input
+    carry — and ldj = (B, N) f32 = -log q(z2 | x, context)."""
+    b, n, in_dim = x.shape
+    aug_dim = eps.shape[-1]
+    nc, e_dim = context.shape[1], context.shape[2]
+    has_extra = extra is not None
+
+    qb = _Q_BLOCK if n % _Q_BLOCK == 0 else math.gcd(n, _Q_BLOCK)
+    grid = (b, n // qb)
+
+    bf = jnp.bfloat16
+    inputs = [x.astype(jnp.float32), eps.astype(jnp.float32),
+              context.astype(bf)]
+    in_specs = [
+        pl.BlockSpec((1, qb, in_dim), lambda bi, nb: (bi, nb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, qb, aug_dim), lambda bi, nb: (bi, nb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nc, e_dim), lambda bi, nb: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_extra:
+        inputs.append(extra.astype(bf))
+        in_specs.append(pl.BlockSpec((1, qb, extra.shape[-1]),
+                                     lambda bi, nb: (bi, nb, 0),
+                                     memory_space=pltpu.VMEM))
+
+    def add_w(arr, cast=bf):
+        arr = arr.astype(cast)
+        if arr.ndim == 2:
+            arr = arr[:, None, :]
+        inputs.append(arr)
+        in_specs.append(pl.BlockSpec(
+            (1,) + arr.shape[1:],
+            lambda bi, nb, _nd=arr.ndim: (0,) * _nd,
+            memory_space=pltpu.VMEM))
+
+    for w, bb in folded_aug["pre"]:
+        add_w(w)
+        add_w(bb)
+    add_w(folded_aug["wq_f"])
+    add_w(folded_aug["bq_f"], jnp.float32)
+    add_w(folded_aug["wkv"])
+    add_w(folded_aug["cpl_in_xe"])
+    add_w(folded_aug["cpl_in_c"])
+    add_w(folded_aug["cpl_in_b"], jnp.float32)
+    for w, bb in folded_aug["cpl_rest"]:
+        add_w(w)
+        add_w(bb)
+
+    kernel = functools.partial(
+        _augment_kernel, n_pre=len(folded_aug["pre"]),
+        n_net=folded_aug["n_cpl"], has_extra=has_extra, aug_dim=aug_dim)
+
+    z, ldj = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, qb, in_dim + aug_dim),
+                         lambda bi, nb: (bi, nb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb, 1), lambda bi, nb: (bi, nb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, in_dim + aug_dim), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+    return z, ldj[..., 0]
 
 
 def append_final_block(stacks: dict, final_block: dict, lat: int) -> dict:

@@ -310,3 +310,80 @@ def test_inverse_fold_round_trips_folded_scan():
 
     err = float(jnp.max(jnp.abs(h - x0)))
     assert err < 5e-3, err
+
+
+def test_fold_augmenter_matches_xla_augmenter():
+    """fold_augmenter algebra: a plain-jnp mirror of _augment_kernel (same
+    eps draw as normal_sample) must match augment_attn_forward to f32
+    round-off — validates the fused augmenter prologue's folds and its
+    -log q epilogue before the kernel runs on hardware."""
+    import math
+
+    from flowcompare_tpu.core.mlp import gelu
+    from flowcompare_tpu.flows import augment
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+
+    cfg = _bf16_cfg()
+    model = FlowCompareModel(cfg)
+    params, _ = model.init_params(jax.random.PRNGKey(0))
+    assert model.augmenter_kind == "conditional_attn"
+    fa = flp.fold_augmenter(params["augmenter"], input_dim=cfg["input_dim"],
+                            extra_dim=1)
+
+    B, N = 2, cfg["sample_size"]
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    x = jax.random.normal(ks[0], (B, N, cfg["input_dim"]))
+    ctx = jax.random.normal(ks[1], (B, cfg["n_samples_context"],
+                                    fa["wkv"].shape[1]))
+    extra = jax.random.normal(ks[2], (B, N, 1))
+    rng = ks[3]
+
+    z_ref, ldj_ref = augment.augment_attn_forward(
+        params["augmenter"], rng, x, ctx, extra, nonlin=gelu, dtype=None)
+
+    aug_dim = cfg["latent_dim"] - cfg["input_dim"]
+    eps = jax.random.normal(rng, (B, N, aug_dim), jnp.float32)
+
+    def res_mlp(h, pairs):
+        h = gelu(h @ pairs[0][0] + pairs[0][1])
+        residual = h
+        for i, (w, b) in enumerate(pairs[1:-1]):
+            if i % 2 == 0:
+                residual = h
+                h = gelu(h @ w + b)
+            else:
+                h = gelu(residual + h @ w + b)
+        return h @ pairs[-1][0] + pairs[-1][1]
+
+    q_in = res_mlp(x, [(w[0], b[0]) for w, b in fa["pre"]])
+    mean = jnp.mean(q_in, -1, keepdims=True)
+    var = jnp.mean(q_in * q_in, -1, keepdims=True) - mean * mean
+    qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
+    q = qn @ fa["wq_f"][0] + fa["bq_f"][0][0]
+    kv = ctx @ fa["wkv"][0]
+    d = q.shape[-1]
+    k, v = kv[..., :d], kv[..., d:]
+    s = jnp.einsum("bnd,bmd->bnm", q, k)
+    e = jnp.exp(jnp.minimum(s, 80.0))
+    a = jnp.einsum("bnm,bmd->bnd", e, v) / jnp.sum(e, -1, keepdims=True)
+    x1e = jnp.concatenate([x, extra], -1)
+    acc = (x1e @ fa["cpl_in_xe"][0] + a @ fa["cpl_in_c"][0]
+           + fa["cpl_in_b"][0][0])
+    hh = gelu(acc)
+    residual = hh
+    rest = [(w[0], b[0]) for w, b in fa["cpl_rest"]]
+    for i, (w, b) in enumerate(rest[:-1]):
+        if i % 2 == 0:
+            residual = hh
+            hh = gelu(hh @ w + b)
+        else:
+            hh = gelu(residual + hh @ w + b)
+    st = hh @ rest[-1][0] + rest[-1][1]
+    m2, ls = st[..., :aug_dim], st[..., aug_dim:]
+    z = jnp.concatenate([x, m2 + eps * jnp.exp(ls)], -1)
+    ldj = jnp.sum(0.5 * math.log(2 * math.pi) + ls + 0.5 * eps * eps, -1)
+
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldj), np.asarray(ldj_ref),
+                               atol=1e-4, rtol=1e-5)
