@@ -24,7 +24,33 @@ checkpointing overhead => ~75k points/sec. The north-star target
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+
+def _wait_for_chip(max_wait_s: float = 1800.0) -> bool:
+    """Give a restarting TPU worker a bounded chance to come back.
+
+    The axon backend blocks INDEFINITELY inside backend init while the
+    remote worker restarts (outages of 10 min - hours observed), so probe
+    with short-lived subprocesses — this process must not touch jax until
+    a probe succeeds. Returns True once a tiny matmul executes."""
+    deadline = time.time() + max_wait_s
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
+    while True:
+        try:
+            p = subprocess.run([sys.executable, "-c", probe], timeout=90,
+                               capture_output=True)
+            if p.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        time.sleep(30)
+
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +62,10 @@ N_CHUNKS = 3       # timed chunks
 
 
 def main():
+    # bounded wait if the TPU worker happens to be mid-restart (otherwise
+    # backend init inside the first op below blocks with no timeout)
+    _wait_for_chip()
+
     import flowcompare_tpu as fc
 
     # `flowcompare bench --preset X --batch-size B` parameterizes through the
