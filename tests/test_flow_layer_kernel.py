@@ -2,11 +2,13 @@
 on TPU only.
 
 The kernel's layer-carry aliasing relies on the TPU's sequential grid
-execution; interpret mode re-reads stale inputs, so CPU tests only cover
-the stack assembly and the fallback gating. The numerical check against the
-scan path (nats identical to 5 decimals, unbiased per-point lp diff) runs
-whenever a TPU backend is attached — see also bench.py, which exercises the
-kernel every round on hardware.
+execution; MULTI-layer interpret mode re-reads stale inputs, so CPU tests
+cover the stack assembly, the fallback gating — and, since round 2, the
+kernel BODIES themselves at one-layer scope (a single-layer grid never
+re-reads an aliased block, so interpret mode is exact there; see
+_one_layer_fixture). Full-depth numerical parity against the scan path
+runs whenever a TPU backend is attached — see also bench.py, which
+exercises the kernel every round on hardware.
 """
 
 import jax
@@ -387,3 +389,105 @@ def test_fold_augmenter_matches_xla_augmenter():
                                atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ldj), np.asarray(ldj_ref),
                                atol=1e-4, rtol=1e-5)
+
+
+def _one_layer_fixture():
+    """A single REAL layer (index 0: non-identity LU/ActNorm) of a tiny
+    attention model, in every format the kernels consume. One-layer grids
+    never re-read an aliased carry block, so interpret mode is SAFE here
+    (multi-layer interpret re-reads stale inputs — the known limitation)."""
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+
+    cfg = _bf16_cfg()
+    model = FlowCompareModel(cfg, remat=False)
+    params, _ = model.init_params(jax.random.PRNGKey(0))
+    prep = model._prepare_layers(params["layers"])
+    stacks = flp.append_final_block(
+        flp.build_layer_stacks(model, prep), params["final_block"],
+        cfg["latent_dim"])
+    folded = flp.fold_stacks(stacks, split=cfg["latent_dim"] // 2,
+                             extra_dim=1)
+
+    def sl(v):
+        if v is None or isinstance(v, int):
+            return v
+        if isinstance(v, list):
+            return [(w[:1], b[:1]) for w, b in v]
+        return v[:1]
+
+    f1 = {k: sl(v) for k, v in folded.items()}
+    s1 = {k: (v[:1] if hasattr(v, "shape") else
+              ([(w[:1], b[:1]) for w, b in v] if isinstance(v, list) else v))
+          for k, v in stacks.items()}
+
+    B, N = 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(ks[0], (B, N, cfg["latent_dim"]), jnp.float32)
+    ctx = jax.random.normal(
+        ks[1], (B, cfg["n_samples_context"], folded["wkv"].shape[1]),
+        jnp.float32)
+    extra = jax.random.normal(ks[2], (B, N, 1), jnp.float32)
+    return cfg, model, params, f1, s1, x, ctx, extra
+
+
+@pytest.mark.parametrize("form,sm2,cc", [
+    ("sigmoid", False, False),   # production
+    ("exp2", True, True),        # all candidate flags on
+    ("tanh", False, True),
+])
+def test_forward_kernel_one_layer_interpret(form, sm2, cc):
+    """Executes the actual megakernel body (interpret mode, 1 layer) under
+    each trace-time variant and checks it against folded_scan_core at bf16
+    tolerance — real kernel-code coverage without a chip."""
+    from flowcompare_tpu.core.mlp import gelu
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+
+    cfg, model, params, f1, s1, x, ctx, extra = _one_layer_fixture()
+    ldj0 = jnp.zeros(x.shape[:2], jnp.float32)
+    zs, ls = flp.folded_scan_core(x, ldj0, ctx, extra, f1, nonlin=gelu,
+                                  dtype=jnp.bfloat16, remat=False)
+    prod = (flp._GELU_FORM, flp._SOFTMAX_EXP2, flp._CPL_IN_CONCAT)
+    try:
+        flp._GELU_FORM, flp._SOFTMAX_EXP2, flp._CPL_IN_CONCAT = form, sm2, cc
+        zk, lk = flp.fused_flow_layers(x, ldj0, ctx, extra, f1,
+                                       interpret=True)
+    finally:
+        flp._GELU_FORM, flp._SOFTMAX_EXP2, flp._CPL_IN_CONCAT = prod
+    assert float(jnp.max(jnp.abs(zk - zs))) < 3e-2
+    assert float(jnp.max(jnp.abs(lk - ls))) < 2e-3
+
+
+def test_inverse_kernel_one_layer_interpret_round_trip():
+    """fused_flow_layers_inverse undoes fused_flow_layers on a real layer
+    (interpret mode): kernel-code coverage for the sampling direction."""
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+
+    cfg, model, params, f1, s1, x, ctx, extra = _one_layer_fixture()
+    ldj0 = jnp.zeros(x.shape[:2], jnp.float32)
+    zf, _ = flp.fused_flow_layers(x, ldj0, ctx, extra, f1, interpret=True)
+    inv1 = flp.fold_stacks_inverse(s1, f1)
+    xr = flp.fused_flow_layers_inverse(zf, ctx, extra, inv1, interpret=True)
+    assert float(jnp.max(jnp.abs(xr - x))) < 3e-2
+
+
+def test_augment_kernel_interpret_matches_xla():
+    """The fused augmenter has NO aliased carries, so interpret mode covers
+    it fully: must match augment_attn_forward (bf16 path, same eps draw)."""
+    from flowcompare_tpu.core.mlp import gelu
+    from flowcompare_tpu.flows import augment
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+
+    cfg, model, params, f1, s1, x, ctx, extra = _one_layer_fixture()
+    fa = flp.fold_augmenter(params["augmenter"], input_dim=cfg["input_dim"],
+                            extra_dim=1)
+    B, N = x.shape[:2]
+    x6 = jax.random.normal(jax.random.PRNGKey(5), (B, N, cfg["input_dim"]))
+    rng = jax.random.PRNGKey(9)
+    z_ref, ldj_ref = augment.augment_attn_forward(
+        params["augmenter"], rng, x6, ctx, extra, nonlin=gelu,
+        dtype=jnp.bfloat16)
+    aug_dim = cfg["latent_dim"] - cfg["input_dim"]
+    eps = jax.random.normal(rng, (B, N, aug_dim), jnp.float32)
+    zk, ldjk = flp.fused_augmenter(x6, eps, ctx, extra, fa, interpret=True)
+    assert float(jnp.max(jnp.abs(zk - z_ref))) < 1e-2
+    assert float(jnp.max(jnp.abs(ldjk - ldj_ref))) < 1e-2
