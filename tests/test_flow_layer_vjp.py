@@ -196,3 +196,86 @@ def test_identity_padding_layers_are_identity():
                             atol=1e-6)
         assert jnp.allclose(dl, 0.0, atol=1e-6)
         assert float(flat["lu_ldj_f"][layer][0, 0]) == 0.0
+
+
+def test_backward_kernel_single_grid_step_interpret():
+    """Full backward-megakernel body on CPU: at (L=4=one segment, B=1, one
+    query block) the grid has a SINGLE step, so no aliased block is ever
+    revisited and interpret mode is exact. Dense saves are built from
+    1-layer folded_scan slices (bf16, like the forward kernel's saves
+    output); every gradient the kernel returns must match jax.vjp of the
+    bf16 folded scan — the same contract the chip-side vjp-parity tool
+    checks at full scale (save/bench/vjp_parity.json, ~0.5%)."""
+    import numpy as np
+
+    cfg = fc.get_config("dulcet-universe")
+    cfg.update(dict(
+        input_dim=4, latent_dim=8, cif_latent_dim=8, n_flow_layers=4,
+        hidden_dims=[16, 16], net_augmenter_dist_hidden_dims=[16, 16],
+        pre_attention_mlp_hidden_dims=[8, 8],
+        hidden_dims_embedder_out=[16, 16], attn_dim=12, attn_input_dim=8,
+        input_embedding_dim=4, cross_dim_head=8, input_embedder="idenity",
+        sample_size=16, n_samples_context=24, n_neighbors=4))
+    cfg = fc.configs.derive(cfg)
+    model = fc.FlowCompareModel(cfg, remat=False)
+    params, _ = model.init_params(jax.random.PRNGKey(0))
+    prep = model._prepare_layers(params["layers"])
+    stacks = flp.append_final_block(
+        flp.build_layer_stacks(model, prep), params["final_block"],
+        cfg["latent_dim"])
+    folded = flp.fold_stacks(stacks, split=cfg["latent_dim"] // 2,
+                             extra_dim=1)
+    L = folded["lu_ldj_f"].shape[0]
+    assert L == 4 and fvp._pick_segment(L) == 4  # exactly one segment
+    arrs = {k: v for k, v in folded.items() if k != "n_cpl"}
+    n_cpl = folded["n_cpl"]
+
+    B, N, LAT = 1, 16, cfg["latent_dim"]
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    x = jax.random.normal(ks[0], (B, N, LAT), jnp.float32)
+    ctx = jax.random.normal(
+        ks[1], (B, cfg["n_samples_context"], folded["wkv"].shape[1]),
+        jnp.float32)
+    extra = jax.random.normal(ks[2], (B, N, 1), jnp.float32)
+    ldj0 = jnp.zeros((B, N), jnp.float32)
+    dz = jax.random.normal(ks[3], (B, N, LAT), jnp.float32)
+    dldj = jax.random.normal(ks[4], (B, N), jnp.float32)
+
+    def slice_l(v, l):
+        if v is None or isinstance(v, int):
+            return v
+        if isinstance(v, list):
+            return [(w[l:l + 1], b[l:l + 1]) for w, b in v]
+        return v[l:l + 1]
+
+    carries = []
+    h, acc = x, ldj0
+    for l in range(L):
+        carries.append(h)
+        fl = {k: slice_l(v, l) for k, v in folded.items()}
+        h, acc = flp.folded_scan_core(h, acc, ctx, extra, fl, nonlin=gelu,
+                                      dtype=jnp.bfloat16, remat=False)
+    saves = jnp.stack(carries, 0).astype(jnp.bfloat16)
+
+    def f(x, ctx, extra, arrs):
+        return flp.folded_scan_core(x, ldj0, ctx, extra,
+                                    {**arrs, "n_cpl": n_cpl}, nonlin=gelu,
+                                    dtype=jnp.bfloat16, remat=False)
+
+    _, vjp = jax.vjp(f, x, ctx, extra, arrs)
+    dx_ref, dctx_ref, dextra_ref, darrs_ref = vjp((dz, dldj))
+
+    dx, dctx, dextra, dflat = fvp.flow_layers_bwd(
+        saves, dz, dldj, ctx, extra, arrs, n_cpl, interpret=True)
+
+    def rel(a, b):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        return np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
+
+    assert rel(dx, dx_ref) < 0.03
+    assert rel(dctx, dctx_ref) < 0.03
+    assert rel(dextra, dextra_ref) < 0.03
+    flat_ref = fvp._flatten_folded(darrs_ref, n_cpl, True)
+    for k, g in dflat.items():
+        assert rel(g, flat_ref[k]) < 0.05, k
