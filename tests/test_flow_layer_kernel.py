@@ -491,3 +491,50 @@ def test_augment_kernel_interpret_matches_xla():
     zk, ldjk = flp.fused_augmenter(x6, eps, ctx, extra, fa, interpret=True)
     assert float(jnp.max(jnp.abs(zk - z_ref))) < 1e-2
     assert float(jnp.max(jnp.abs(ldjk - ldj_ref))) < 1e-2
+
+
+def test_forward_kernel_global_conditioner_interpret():
+    """One-layer interpret coverage of the kernel's has_attn=False branch
+    (helpful-sponge family: broadcast global embedding as the conditioner)."""
+    from flowcompare_tpu.configs import derive
+    from flowcompare_tpu.core.mlp import gelu
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+    import flowcompare_tpu as fc
+
+    cfg = fc.get_config("helpful-sponge")
+    cfg.update(dict(
+        input_dim=4, latent_dim=8, cif_latent_dim=8, n_flow_layers=3,
+        hidden_dims=[16, 16], net_augmenter_dist_hidden_dims=[16, 16],
+        pre_attention_mlp_hidden_dims=[8, 8],
+        hidden_dims_embedder_out=[16, 16], attn_dim=12, attn_input_dim=8,
+        input_embedding_dim=4, cross_dim_head=8, sample_size=16,
+        n_samples_context=24, n_neighbors=4, compute_dtype="bfloat16"))
+    cfg = derive(cfg)
+    model = FlowCompareModel(cfg, remat=False)
+    params, _ = model.init_params(jax.random.PRNGKey(0))
+    prep = model._prepare_layers(params["layers"])
+    stacks = flp.append_final_block(
+        flp.build_layer_stacks(model, prep), params["final_block"],
+        cfg["latent_dim"])
+    assert "wq" not in stacks  # global path
+    folded = flp.fold_stacks(stacks, split=cfg["latent_dim"] // 2,
+                             extra_dim=0)
+
+    def sl(v):
+        if v is None or isinstance(v, int):
+            return v
+        if isinstance(v, list):
+            return [(w[:1], b[:1]) for w, b in v]
+        return v[:1]
+
+    f1 = {k: sl(v) for k, v in folded.items()}
+    B, N = 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    x = jax.random.normal(ks[0], (B, N, cfg["latent_dim"]))
+    ctx = jax.random.normal(ks[1], (B, N, folded["cpl_in_c"].shape[1]))
+    ldj0 = jnp.zeros((B, N))
+    zs, ls = flp.folded_scan_core(x, ldj0, ctx, None, f1, nonlin=gelu,
+                                  dtype=jnp.bfloat16, remat=False)
+    zk, lk = flp.fused_flow_layers(x, ldj0, ctx, None, f1, interpret=True)
+    assert float(jnp.max(jnp.abs(zk - zs))) < 3e-2
+    assert float(jnp.max(jnp.abs(lk - ls))) < 2e-3
