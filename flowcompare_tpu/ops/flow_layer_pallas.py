@@ -87,8 +87,11 @@ _SOFTMAX_EXP2 = False
 # Fuse the attention-preconditioned augmenter into a Pallas prologue kernel
 # (fused_augmenter) on the fused eval path — ~4 ms/batch of un-fused XLA
 # dispatches otherwise. eps is drawn with the same key/shape normal_sample
-# uses, so the two paths see bit-identical noise. Trace-time.
-_FUSE_AUGMENTER = True
+# uses, so the two paths see bit-identical noise. Trace-time. Default OFF
+# until chip-validated at full scale (interpret-mode tests cover the math;
+# the A/B pipeline flips it per combo) — the headline bench must never ride
+# an unvalidated kernel.
+_FUSE_AUGMENTER = False
 
 # Coupling input layer as ONE matmul on concat([x1, extra, cond]) instead of
 # the folded two-matmul sum: the contraction goes from pad(151)=256 +
