@@ -564,7 +564,8 @@ class FlowCompareModel:
         z = normal_sample(key, (num_samples, n_points, self.latent_dim), 0.0,
                           sample_std)
 
-        if self._can_fuse_layers():
+        from .ops import flow_layer_pallas as _flp
+        if self._can_fuse_layers() and _flp._FUSE_SAMPLING:
             # sampling megakernel: the final block and all layers run in one
             # REVERSE kernel (same conditioner math as the forward kernel,
             # ActNorm+LinearLU pre-inverted host-side)

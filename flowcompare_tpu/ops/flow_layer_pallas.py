@@ -93,6 +93,11 @@ _SOFTMAX_EXP2 = False
 # an unvalidated kernel.
 _FUSE_AUGMENTER = False
 
+# Same policy for the sampling (inverse) megakernel: interpret-mode tests
+# cover the math; tools/test_sample_kernel_chip.py validates full scale on
+# hardware, after which this default flips on. Trace-time.
+_FUSE_SAMPLING = False
+
 # Coupling input layer as ONE matmul on concat([x1, extra, cond]) instead of
 # the folded two-matmul sum: the contraction goes from pad(151)=256 +
 # pad(64)=128 = 384 effective lanes to pad(151+64=215)=256 — a 3.8% cut of

@@ -36,6 +36,7 @@ def main():
 
     import flowcompare_tpu as fc
     from flowcompare_tpu.model import make_sample
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
 
     cfg = fc.get_config("dulcet-universe")
     cfg["compute_dtype"] = "bfloat16"
@@ -48,6 +49,8 @@ def main():
     results = {}
     outputs = {}
     for fused in (False, True):
+        flp._FUSE_SAMPLING = fused  # trace-time gate (default off until
+        # this very tool records full-scale parity)
         model = fc.FlowCompareModel(cfg, remat=False, fused_layers=fused)
         params, state = model.init_params(jax.random.PRNGKey(0))
 
