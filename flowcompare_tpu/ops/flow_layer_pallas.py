@@ -38,8 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 _Q_BLOCK = 1024
 # Independent row chunks per grid step: their op chains carry no data
 # dependencies, so Mosaic can overlap one chunk's VPU work (GELU, softmax,
-# log/sigmoid) with another's MXU matmuls. 1 = off.
-_ROW_CHUNKS = 2
+# log/sigmoid) with another's MXU matmuls. 1 = off. Production 1 since the
+# tanh GELU form landed: with the cheaper VPU tail the chunked overlap no
+# longer pays for its overhead (same-worker A/B 2026-08-18: RC1 307.4k vs
+# RC2 302.7k vs RC4 292.0k pts/s at _GELU_FORM="tanh";
+# save/bench/ab_kernel_flags_r2b.json).
+_ROW_CHUNKS = 1
 
 # Trace-time ablation switches for perf attribution (tools/ablate_kernel.py).
 # Empty in production; members: "nogelu", "noexp", "noattn", "nolu",
@@ -73,8 +77,12 @@ _GELU_DEG2 = True
 #              no separate negate/scale/final-multiply)
 #   "tanh":    xh + xh*tanh(r(u)*x), r = p/2, xh = x/2  (no divide at all,
 #              if the backend has a fast tanh)
-# Trace-time, A/B'd by tools/ab_kernel_flags.py.
-_GELU_FORM = "sigmoid"
+# Trace-time, A/B'd by tools/ab_kernel_flags.py. Production "tanh": the
+# single biggest round-2 eval win — 302.7k vs sigmoid's 272.1k pts/s
+# same-worker (+11%), probe nats delta -1.1e-5 (the forms are the same
+# function in real arithmetic; save/bench/ab_kernel_flags_r2{,b}.json,
+# 2026-08-18). exp2 was neutral (275.4k).
+_GELU_FORM = "tanh"
 
 # Softmax in log2 space: scale q by log2(e) right after the wq matmul (a
 # (QB, d) pass) so the exp over the (QB, Nc) score matrix — the largest
@@ -82,16 +90,18 @@ _GELU_FORM = "sigmoid"
 # per-element *log2(e) rescale. Exactly equal in real arithmetic: softmax
 # is base-invariant once the scores are scaled (the e@v ones-column divide
 # cancels any consistent base). Clamp constant becomes 80*log2(e).
-_SOFTMAX_EXP2 = False
+# Production True: never worse across three same-worker A/Bs (+0.9% at
+# RC=2, tie at RC=1; nats delta -3e-6; ab_kernel_flags_r2{,b,c}.json).
+_SOFTMAX_EXP2 = True
 
 # Fuse the attention-preconditioned augmenter into a Pallas prologue kernel
 # (fused_augmenter) on the fused eval path — ~4 ms/batch of un-fused XLA
 # dispatches otherwise. eps is drawn with the same key/shape normal_sample
-# uses, so the two paths see bit-identical noise. Trace-time. Default OFF
-# until chip-validated at full scale (interpret-mode tests cover the math;
-# the A/B pipeline flips it per combo) — the headline bench must never ride
-# an unvalidated kernel.
-_FUSE_AUGMENTER = False
+# uses, so the two paths see bit-identical noise. Trace-time. Chip-validated
+# at full scale 2026-08-18: probe nats delta -2.7e-4 vs the un-fused path
+# (budget ±0.01) and +1.9% throughput on the tanh/RC1 kernel (311.6k vs
+# 305.9k pts/s same-worker; save/bench/ab_kernel_flags_r2{,c}.json).
+_FUSE_AUGMENTER = True
 
 # Same policy for the sampling (inverse) megakernel: interpret-mode tests
 # cover the math; tools/test_sample_kernel_chip.py validates full scale on
