@@ -104,9 +104,11 @@ _SOFTMAX_EXP2 = True
 _FUSE_AUGMENTER = True
 
 # Same policy for the sampling (inverse) megakernel: interpret-mode tests
-# cover the math; tools/test_sample_kernel_chip.py validates full scale on
-# hardware, after which this default flips on. Trace-time.
-_FUSE_SAMPLING = False
+# cover the math; tools/test_sample_kernel_chip.py validated full scale on
+# hardware 2026-08-18 — kernel 123.3 ms/batch vs reverse-scan 189.2 (1.53x),
+# sampled-point parity max_rel 7.6e-3 / mean_abs 1.8e-3 (bf16-level through
+# 115 inverse layers; save/bench/sample_kernel_parity.json). Trace-time.
+_FUSE_SAMPLING = True
 
 # Coupling input layer as ONE matmul on concat([x1, extra, cond]) instead of
 # the folded two-matmul sum: the contraction goes from pad(151)=256 +

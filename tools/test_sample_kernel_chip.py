@@ -54,19 +54,21 @@ def main():
         model = fc.FlowCompareModel(cfg, remat=False, fused_layers=fused)
         params, state = model.init_params(jax.random.PRNGKey(0))
 
-        fn = jax.jit(lambda key, _m=model: make_sample(
-            _m, params, state, key, N_POINTS, extract_0, extra))
+        # params/state/inputs must be ARGUMENTS, not closure constants: the
+        # remote compile helper 413s on huge constant uploads (CLAUDE.md)
+        fn = jax.jit(lambda p, s, c0, ex, key, _m=model: make_sample(
+            _m, p, s, key, N_POINTS, c0, ex))
         for w in range(2):  # compile + executable-load, unique keys
-            pts = fn(jax.random.PRNGKey(100 + w))
+            pts = fn(params, state, extract_0, extra, jax.random.PRNGKey(100 + w))
             float(pts[0, 0, 0])
         t0 = time.perf_counter()
         reps = 3
         for i in range(reps):
-            pts = fn(jax.random.PRNGKey(i))
+            pts = fn(params, state, extract_0, extra, jax.random.PRNGKey(i))
             float(pts[0, 0, 0])
         dt = (time.perf_counter() - t0) / reps
         name = "kernel" if fused else "scan"
-        outputs[name] = fn(jax.random.PRNGKey(0))
+        outputs[name] = fn(params, state, extract_0, extra, jax.random.PRNGKey(0))
         results[name] = {
             "ms_per_batch": round(dt * 1000, 2),
             "points_per_sec": round(B * N_POINTS / dt, 1),
