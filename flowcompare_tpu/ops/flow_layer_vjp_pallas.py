@@ -47,13 +47,26 @@ _QB_BWD = 512  # backward holds a layer's vjp residuals live; 1024-row blocks sp
 # flow_layer_pallas._ROW_CHUNKS): each chunk's recompute+backward chain is
 # data-independent, letting Mosaic overlap one chunk's VPU tail (GELU and
 # its derivative, softmax, sigmoid) with the other's MXU matmuls. Weight
-# grads accumulate across chunks. 1 = off. Trace-time.
+# grads accumulate across chunks. 1 = off. Trace-time. Measured LOSS at 2
+# (332.5 vs 306.0 ms/step, save/bench/ab_train_flags_r2.json).
 _ROW_CHUNKS_BWD = 1
 
+# Trace-time ablation for BACKWARD-time attribution (tools/ablate_bwd.py);
+# "" in production. The TPU profiler hangs on this backend, so the bwd
+# kernel's cost is decomposed by re-tracing with pieces removed:
+#   "fwdonly": per-layer vjp replaced by the plain forward recompute, dx
+#              passes dz through — isolates saves-read + linearize FLOPs.
+#   "nodw":    full vjp but weight-grad stores skipped, so XLA dead-codes
+#              the dW = h^T g matmuls — isolates weight-grad cost.
+#   "sg_attn": stop_gradient on the conditioner output — dead-codes the
+#              attention/pre-MLP backward ops — isolates attention bwd.
+# Outputs are WRONG under any non-"" value; timing only.
+_ABLATE_BWD = ""
 
-def _pick_segment(n_layers: int, k_max: int = 4) -> int:
+
+def _pick_segment(n_layers: int, k_max: Optional[int] = None) -> int:
     """Largest checkpoint spacing <= k_max that divides the layer count."""
-    for k in range(k_max, 0, -1):
+    for k in range((_K_SEG if k_max is None else k_max), 0, -1):
         if n_layers % k == 0:
             return k
     return 1
@@ -146,6 +159,8 @@ def _layer_fwd_math(wk, x, ctx, extra, *, n_pre, n_cpl, has_attn, has_extra,
                     preferred_element_type=jnp.float32)
         a = a / jnp.sum(e, axis=-1, keepdims=True)
         cond_op = a.astype(bf)
+        if _ABLATE_BWD == "sg_attn":
+            cond_op = jax.lax.stop_gradient(cond_op)
     else:
         cond_op = ctx.astype(bf)
 
@@ -517,6 +532,12 @@ def _bwd_kernel_impl(*refs, n_pre, n_cpl, has_attn, has_extra, split,
         else:
             x = x_stash[pl.ds(k, 1)][0]
         wk = wk_at(k)
+        if _ABLATE_BWD == "fwdonly":
+            # plain forward recompute only; thread z into dx at zero weight
+            # so the chain can't be dead-coded. Outputs are wrong (timing).
+            z, ldj_add = fwd(wk, x, ctx, extra)
+            dx = dz + 1e-30 * z + 1e-30 * ldj_add
+            return dx, dctx_acc, dextra_acc
         n_rows = x.shape[0]
         n_chunks = (_ROW_CHUNKS_BWD if n_rows % _ROW_CHUNKS_BWD == 0 else 1)
         step = n_rows // n_chunks
@@ -554,13 +575,14 @@ def _bwd_kernel_impl(*refs, n_pre, n_cpl, has_attn, has_extra, split,
                 dflat["pre_w%d" % j], dflat["pre_b%d" % j] = dwk["pre"][j]
             dflat["wq_f"], dflat["bq_f"], dflat["wkv"] = (
                 dwk["wq_f"], dwk["bq_f"], dwk["wkv"])
-        for name in names:
-            r = dw_refs[name]
-            g = dflat[name].astype(jnp.float32)
-            if g.ndim == r.ndim - 1:
-                g = g[None]
-            r[pl.ds(k, 1)] = r[pl.ds(k, 1)] + g.reshape(
-                (1,) + r.shape[1:])
+        if _ABLATE_BWD != "nodw":
+            for name in names:
+                r = dw_refs[name]
+                g = dflat[name].astype(jnp.float32)
+                if g.ndim == r.ndim - 1:
+                    g = g[None]
+                r[pl.ds(k, 1)] = r[pl.ds(k, 1)] + g.reshape(
+                    (1,) + r.shape[1:])
         dctx_acc = dctx_acc + dctx_k.astype(jnp.float32)
         if has_extra:
             dextra_acc = dextra_acc + dextra_k.astype(jnp.float32)

@@ -69,7 +69,11 @@ def main():
     results = []
     for combo in combos:
         for flag, val in combo.items():
-            mod = fvp if hasattr(fvp, flag) and flag.endswith("_BWD") else flp
+            # backward-kernel flags live on fvp (by _BWD suffix or by being
+            # absent from flp, e.g. _K_SEG); shared fwd flags on flp
+            mod = (fvp if hasattr(fvp, flag)
+                   and (flag.endswith("_BWD") or not hasattr(flp, flag))
+                   else flp)
             assert hasattr(mod, flag), flag
             setattr(mod, flag, val)
         model = fc.FlowCompareModel(cfg, fused_layers=True)
