@@ -51,6 +51,38 @@ _QB_BWD = 512  # backward holds a layer's vjp residuals live; 1024-row blocks sp
 # (332.5 vs 306.0 ms/step, save/bench/ab_train_flags_r2.json).
 _ROW_CHUNKS_BWD = 1
 
+# Unroll the K-layer loop of the backward body at trace time. With
+# unroll=False every weight read is `w_refs[name][pl.ds(k, 1)]` with a
+# DYNAMIC k — if Mosaic materializes those as VMEM->VMEM copies, that is
+# ~2.3 MB of weight copying per (layer, grid step) ≈ 10.7 GB/batch,
+# invariant to K (consistent with the measured K=1 == K=4 wash,
+# save/bench/ab_train_kseg.json). Unrolling makes k a trace-time constant
+# so the slices are static addressing. Trace-time flag; A/B via
+# tools/ab_train_flags.py.
+_UNROLL_BWD = False
+
+# DEAD END (2026-08-18, save/bench/ab_train_unroll_ckpt.json): wrapping the
+# attention conditioner in jax.checkpoint inside the kernel body fails to
+# compile — Pallas TPU lowering has no rule for the remat2 primitive
+# (jax.vjp consumes custom_vjp at trace time, but remat2 SURVIVES into the
+# transpose jaxpr). Interpret-mode tests can't catch this class of failure.
+# Residual-liveness relief must come from custom_vjp instead:
+# _BF16_RESIDUALS below.
+
+# Round the backward's saved residuals to bf16. The per-layer jax.vjp blob
+# keeps its residuals (GELU pre-activations, LayerNorm input, the softmax
+# matrix e, the affine's st) in f32 — that liveness is the measured binding
+# constraint of the backward kernel (QB=1024 compiles show ~97 MB of
+# register-allocator spill slots; K-segmentation is a wash because the blob,
+# not the dispatch structure, is the cost). The forward already rounds every
+# one of these tensors to bf16 before feeding the next matmul, so storing
+# the bf16 version loses nothing the forward's own arithmetic hadn't
+# already lost: GELU/LN/sigmoid-affine re-linearize at the rounded point
+# (VPU-cheap — GELU recompute measured FREE in the eval kernel), and the
+# attention core stores (q, k, v, e) bf16 with a hand-written transpose so
+# no MXU recompute is added. Trace-time; A/B via tools/ab_train_flags.py.
+_BF16_RESIDUALS = False
+
 # Trace-time ablation for BACKWARD-time attribution (tools/ablate_bwd.py);
 # "" in production. The TPU profiler hangs on this backend, so the bwd
 # kernel's cost is decomposed by re-tracing with pieces removed:
@@ -106,6 +138,93 @@ def _pad_identity_layers(arrs, pad: int, lat: int):
     return out
 
 
+# ------------------------------------------------- bf16-residual primitives
+
+def _bf16_remat(fn):
+    """custom-vjp wrapper: forward runs fn unchanged; the transpose
+    re-linearizes fn at its inputs ROUNDED TO bf16 — so the residual set
+    is half the size and the recompute sees exactly the values the
+    forward's own bf16 matmuls would have seen. Only sound for VPU-cheap
+    fn (GELU / LayerNorm / sigmoid-affine): the re-linearization re-runs
+    fn's forward once inside the backward."""
+    @jax.custom_vjp
+    def wrapped(*args):
+        return fn(*args)
+
+    def fwd(*args):
+        saved = tuple(a.astype(jnp.bfloat16) if a.dtype == jnp.float32
+                      else a for a in args)
+        return fn(*args), saved
+
+    def bwd(saved, g):
+        args = tuple(a.astype(jnp.float32) if a.dtype == jnp.bfloat16
+                     else a for a in saved)
+        _, vjp = jax.vjp(fn, *args)
+        return vjp(g)
+
+    wrapped.defvjp(fwd, bwd)
+    return wrapped
+
+
+def _ln_core(x):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+    return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+
+
+@jax.custom_vjp
+def _attn_core(q, k, v):
+    """softmax(q kᵀ) v with the denominator division folded in — residuals
+    stored bf16. The forward computes s/e in f32 (matching the autodiff
+    path bit-for-bit); the hand-written transpose reads q/k/v/e back as
+    bf16 — the same rounding the forward's own MXU dots apply to their
+    operands — plus f32 (QB,1)/(QB,d) row statistics. No recompute: every
+    matmul in the backward is a true transpose, not a re-forward."""
+    bf = jnp.bfloat16
+    s = jnp.dot(q.astype(bf), k.astype(bf).T,
+                preferred_element_type=jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    u = jnp.dot(e.astype(bf), v.astype(bf),
+                preferred_element_type=jnp.float32)
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    return u / den
+
+
+def _attn_core_fwd(q, k, v):
+    bf = jnp.bfloat16
+    qb, kb, vb = q.astype(bf), k.astype(bf), v.astype(bf)
+    s = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    u = jnp.dot(e.astype(bf), vb, preferred_element_type=jnp.float32)
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    a = u / den
+    return a, (qb, kb, vb, e.astype(bf), den, a)
+
+
+def _attn_core_bwd(res, da):
+    bf = jnp.bfloat16
+    qb, kb, vb, eb, den, a = res
+    du = da / den                                        # (QB, d) f32
+    dv = jnp.dot(eb.T, du.astype(bf),
+                 preferred_element_type=jnp.float32)     # (NC, d)
+    dden = -jnp.sum(da * a, axis=-1, keepdims=True) / den
+    de = (jnp.dot(du.astype(bf), vb.T,
+                  preferred_element_type=jnp.float32) + dden)
+    ds = eb.astype(jnp.float32) * de                     # (QB, NC) f32
+    dsb = ds.astype(bf)
+    dq = jnp.dot(dsb, kb, preferred_element_type=jnp.float32)
+    dk = jnp.dot(dsb.T, qb, preferred_element_type=jnp.float32)
+    return dq, dk, dv
+
+
+_attn_core.defvjp(_attn_core_fwd, _attn_core_bwd)
+
+_gelu_r = _bf16_remat(_gelu)
+_ln_r = _bf16_remat(_ln_core)
+
+
 # --------------------------------------------------------------- layer math
 
 def _layer_fwd_math(wk, x, ctx, extra, *, n_pre, n_cpl, has_attn, has_extra,
@@ -117,6 +236,7 @@ def _layer_fwd_math(wk, x, ctx, extra, *, n_pre, n_cpl, has_attn, has_extra,
     on arrays so it can be jax.vjp'd inside the backward kernel. Everything
     stays >=2-D (Mosaic cannot lower scalar/1-D reduction cotangents)."""
     bf = jnp.bfloat16
+    gelu = _gelu_r if _BF16_RESIDUALS else _gelu
 
     def lin(h, w, b):
         return (jnp.dot(h, w.astype(bf), preferred_element_type=jnp.float32)
@@ -128,9 +248,9 @@ def _layer_fwd_math(wk, x, ctx, extra, *, n_pre, n_cpl, has_attn, has_extra,
             w, b = pairs[k]
             if (idx - 1) % 2 == 0:
                 residual = h
-                h = _gelu(lin(h, w, b)).astype(bf)
+                h = gelu(lin(h, w, b)).astype(bf)
             else:
-                h = _gelu(residual.astype(jnp.float32) + lin(h, w, b)).astype(bf)
+                h = gelu(residual.astype(jnp.float32) + lin(h, w, b)).astype(bf)
         w, b = pairs[n_total - 2]
         return lin(h, w, b)
 
@@ -140,25 +260,36 @@ def _layer_fwd_math(wk, x, ctx, extra, *, n_pre, n_cpl, has_attn, has_extra,
     x1e = jnp.concatenate([x1b, extra.astype(bf)], -1) if has_extra else x1b
 
     if has_attn:
-        w0, b0 = wk["pre"][0]
-        h = _gelu(lin(x1b, w0, b0)).astype(bf)
-        q_in = mlp_rest(h, wk["pre"][1:], n_pre)
-        mean = jnp.mean(q_in, axis=-1, keepdims=True)
-        var = jnp.mean(q_in * q_in, axis=-1, keepdims=True) - mean * mean
-        qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
-        q = lin(qn.astype(bf), wk["wq_f"], wk["bq_f"])
-        kv = jnp.dot(ctx.astype(bf), wk["wkv"].astype(bf),
-                     preferred_element_type=jnp.float32)
-        d = q.shape[-1]
-        k_, v_ = kv[:, :d], kv[:, d:]
-        s = jnp.dot(q.astype(bf), k_.astype(bf).T,
-                    preferred_element_type=jnp.float32)
-        m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
-        e = jnp.exp(s - m)
-        a = jnp.dot(e.astype(bf), v_.astype(bf),
-                    preferred_element_type=jnp.float32)
-        a = a / jnp.sum(e, axis=-1, keepdims=True)
-        cond_op = a.astype(bf)
+        def attn_block(x1b, ctx, pre, wq_f, bq_f, wkv):
+            w0, b0 = pre[0]
+            h = gelu(lin(x1b, w0, b0)).astype(bf)
+            q_in = mlp_rest(h, pre[1:], n_pre)
+            if _BF16_RESIDUALS:
+                qn = _ln_r(q_in)
+            else:
+                mean = jnp.mean(q_in, axis=-1, keepdims=True)
+                var = (jnp.mean(q_in * q_in, axis=-1, keepdims=True)
+                       - mean * mean)
+                qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
+            q = lin(qn.astype(bf), wq_f, bq_f)
+            kv = jnp.dot(ctx.astype(bf), wkv.astype(bf),
+                         preferred_element_type=jnp.float32)
+            d = q.shape[-1]
+            k_, v_ = kv[:, :d], kv[:, d:]
+            if _BF16_RESIDUALS:
+                a = _attn_core(q, k_, v_)
+            else:
+                s = jnp.dot(q.astype(bf), k_.astype(bf).T,
+                            preferred_element_type=jnp.float32)
+                m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+                e = jnp.exp(s - m)
+                a = jnp.dot(e.astype(bf), v_.astype(bf),
+                            preferred_element_type=jnp.float32)
+                a = a / jnp.sum(e, axis=-1, keepdims=True)
+            return a.astype(bf)
+
+        cond_op = attn_block(x1b, ctx, wk["pre"], wk["wq_f"], wk["bq_f"],
+                             wk["wkv"])
         if _ABLATE_BWD == "sg_attn":
             cond_op = jax.lax.stop_gradient(cond_op)
     else:
@@ -172,9 +303,18 @@ def _layer_fwd_math(wk, x, ctx, extra, *, n_pre, n_cpl, has_attn, has_extra,
     st = mlp_rest(h, wk["cpl_rest"], n_cpl)
 
     x2_size = st.shape[-1] // 2
-    sc = (2.0 * jax.nn.sigmoid(st[:, :x2_size]) - 1.0) * (1.0 - eps_affine) + 1.0
-    y2 = x2 * sc + st[:, x2_size:]
-    ldj_add = jnp.sum(jnp.log(sc), axis=-1, keepdims=True)
+
+    def affine(st, x2):
+        sc = ((2.0 * jax.nn.sigmoid(st[:, :x2_size]) - 1.0)
+              * (1.0 - eps_affine) + 1.0)
+        y2 = x2 * sc + st[:, x2_size:]
+        ldj_add = jnp.sum(jnp.log(sc), axis=-1, keepdims=True)
+        return y2, ldj_add
+
+    if _BF16_RESIDUALS:
+        y2, ldj_add = _bf16_remat(affine)(st, x2)
+    else:
+        y2, ldj_add = affine(st, x2)
 
     y = jnp.concatenate([x1, y2], axis=-1)
     z = (jnp.dot(y.astype(bf), wk["lu_w_f"].astype(bf).T,
@@ -591,8 +731,15 @@ def _bwd_kernel_impl(*refs, n_pre, n_cpl, has_attn, has_extra, split,
     dctx0 = jnp.zeros(ctx.shape, jnp.float32)
     dextra0 = (jnp.zeros(extra.shape, jnp.float32) if has_extra
                else jnp.zeros((8, 128), jnp.float32))
-    dz, dctx_acc, dextra_acc = jax.lax.fori_loop(
-        0, k_seg, bwd_body, (dz_ref[0], dctx0, dextra0), unroll=False)
+    carry = (dz_ref[0], dctx0, dextra0)
+    if _UNROLL_BWD:
+        # Python loop => k is a Python int => every w_refs[...][pl.ds(k,1)]
+        # is STATIC addressing (no dynamic-slice VMEM copies)
+        for i in range(k_seg):
+            carry = bwd_body(i, carry)
+    else:
+        carry = jax.lax.fori_loop(0, k_seg, bwd_body, carry, unroll=False)
+    dz, dctx_acc, dextra_acc = carry
 
     dx_out[0] = dz
     if has_attn:

@@ -279,3 +279,34 @@ def test_backward_kernel_single_grid_step_interpret():
     flat_ref = fvp._flatten_folded(darrs_ref, n_cpl, True)
     for k, g in dflat.items():
         assert rel(g, flat_ref[k]) < 0.05, k
+
+    # The Python-unrolled layer loop is a pure scheduling change: it must
+    # reproduce the default kernel's gradients BIT-EXACTLY.
+    base = (np.asarray(dx), np.asarray(dctx), np.asarray(dextra),
+            {k: np.asarray(v) for k, v in dflat.items()})
+    defaults = (fvp._UNROLL_BWD, fvp._BF16_RESIDUALS)
+    try:
+        fvp._UNROLL_BWD = True
+        dx_v, dctx_v, dextra_v, dflat_v = fvp.flow_layers_bwd(
+            saves, dz, dldj, ctx, extra, arrs, n_cpl, interpret=True)
+        assert np.array_equal(np.asarray(dx_v), base[0])
+        assert np.array_equal(np.asarray(dctx_v), base[1])
+        assert np.array_equal(np.asarray(dextra_v), base[2])
+        for k, g in dflat_v.items():
+            assert np.array_equal(np.asarray(g), base[3][k]), k
+        fvp._UNROLL_BWD = False
+
+        # bf16 residuals change the transpose's arithmetic only by roundings
+        # the forward itself applies before its bf16 matmuls — gradients
+        # must still match the f32-residual autodiff reference within the
+        # same tolerance band as the default kernel.
+        fvp._BF16_RESIDUALS = True
+        dx_v, dctx_v, dextra_v, dflat_v = fvp.flow_layers_bwd(
+            saves, dz, dldj, ctx, extra, arrs, n_cpl, interpret=True)
+        assert rel(dx_v, dx_ref) < 0.03
+        assert rel(dctx_v, dctx_ref) < 0.03
+        assert rel(dextra_v, dextra_ref) < 0.03
+        for k, g in dflat_v.items():
+            assert rel(g, flat_ref[k]) < 0.05, k
+    finally:
+        fvp._UNROLL_BWD, fvp._BF16_RESIDUALS = defaults

@@ -80,9 +80,15 @@ def main():
         state = init_train_state(model, jax.random.PRNGKey(0))
         step = make_train_step(model)
 
-        for w in range(2):  # compile + executable-load warmups
-            state, m = step(state, batch(100 + w))
-            float(m["loss"])
+        try:
+            for w in range(2):  # compile + executable-load warmups
+                state, m = step(state, batch(100 + w))
+                float(m["loss"])
+        except Exception as exc:  # compile OOM etc. — record, keep going
+            rec = {**combo, "error": str(exc)[:500]}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+            continue
         t0 = time.perf_counter()
         for i in range(args.steps):
             state, m = step(state, batch(i))
@@ -98,9 +104,11 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    base = results[0]["probe_loss"]
-    for r in results:
-        r["probe_loss_delta_vs_prod"] = r["probe_loss"] - base
+    ok = [r for r in results if "probe_loss" in r]
+    if ok:
+        base = ok[0]["probe_loss"]
+        for r in ok:
+            r["probe_loss_delta_vs_prod"] = r["probe_loss"] - base
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
