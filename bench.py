@@ -56,8 +56,9 @@ import jax
 import jax.numpy as jnp
 
 A100_BASELINE_POINTS_PER_SEC = 75_000.0
-# batches per compiled dispatch (amortises the ~25 ms tunnel round-trip)
-CHUNK = int(os.environ.get("FLOWCOMPARE_BENCH_CHUNK", "10"))
+# batches per compiled dispatch (amortises the ~25 ms tunnel round-trip;
+# chunk-size sweep with device-resident inputs: save/bench/ab_bench_chunk.json)
+CHUNK = int(os.environ.get("FLOWCOMPARE_BENCH_CHUNK", "40"))
 N_CHUNKS = 3       # timed chunks
 
 
@@ -107,17 +108,28 @@ def main():
         _, (losses, nats) = jax.lax.scan(body, 0, batches)
         return losses, nats
 
+    # Pre-build every chunk ON DEVICE before the timed region: make_chunk
+    # runs 3 EAGER ops (fold_in + normal per tensor), and through the
+    # tunnel each eager dispatch costs ~12-30 ms — leaving input
+    # generation inside the loop silently adds up to ~9 ms/batch at
+    # CHUNK=10 (discovered 2026-08-18; a dataset-eval loop would stream
+    # real data with the input pipeline overlapped, so device-resident
+    # inputs are the honest model).
+    warm_chunks = [make_chunk(100 + w) for w in range(2)]
+    timed_chunks = [make_chunk(i) for i in range(N_CHUNKS)]
+    jax.block_until_ready((warm_chunks, timed_chunks))
+
     # warmup: first call pays compilation, second the one-time
     # executable-load hit this backend charges (~1s). float() forces a real
     # device sync through the hosted-TPU tunnel (block_until_ready can
     # return early there).
-    for w in range(2):
-        losses, nats = eval_chunk(params, state, make_chunk(100 + w), ks[3])
+    for chunk in warm_chunks:
+        losses, nats = eval_chunk(params, state, chunk, ks[3])
         float(losses[0])
 
     t0 = time.perf_counter()
-    for i in range(N_CHUNKS):
-        losses, nats = eval_chunk(params, state, make_chunk(i), ks[3])
+    for chunk in timed_chunks:
+        losses, nats = eval_chunk(params, state, chunk, ks[3])
         float(losses[0])
     dt = (time.perf_counter() - t0) / N_CHUNKS
 

@@ -80,9 +80,14 @@ def main():
         state = init_train_state(model, jax.random.PRNGKey(0))
         step = make_train_step(model)
 
+        # device-resident batches: eager fold_in+normal inside the timed
+        # loop costs ~12-30 ms per op through the tunnel (see bench_train)
+        warm = [batch(100 + w) for w in range(2)]
+        timed = [batch(i) for i in range(args.steps)]
+        jax.block_until_ready((warm, timed))
         try:
-            for w in range(2):  # compile + executable-load warmups
-                state, m = step(state, batch(100 + w))
+            for b in warm:  # compile + executable-load warmups
+                state, m = step(state, b)
                 float(m["loss"])
         except Exception as exc:  # compile OOM etc. — record, keep going
             rec = {**combo, "error": str(exc)[:500]}
@@ -90,8 +95,8 @@ def main():
             print(json.dumps(rec), flush=True)
             continue
         t0 = time.perf_counter()
-        for i in range(args.steps):
-            state, m = step(state, batch(i))
+        for b in timed:
+            state, m = step(state, b)
             float(m["loss"])
         dt = (time.perf_counter() - t0) / args.steps
 

@@ -49,12 +49,22 @@ def measure(mode: str, n_steps: int = 5) -> dict:
             jax.random.normal(jax.random.fold_in(ks[2], i), (bsz, 1)),
         )
 
-    for w in range(2):  # compile + executable-load warmups
-        state, m = step(state, batch(100 + w))
+    # pre-build all batches on device: batch() is 3 eager fold_in+normal
+    # pairs and each eager dispatch through the tunnel costs ~12-30 ms —
+    # generating inputs inside the timed loop silently added ~40-90 ms to
+    # every recorded step (discovered 2026-08-18; a real training loop
+    # overlaps its input pipeline, so device-resident batches are the
+    # honest model)
+    warm = [batch(100 + w) for w in range(2)]
+    timed = [batch(i) for i in range(n_steps)]
+    jax.block_until_ready((warm, timed))
+
+    for b in warm:  # compile + executable-load warmups
+        state, m = step(state, b)
         float(m["loss"])
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, m = step(state, batch(i))
+    for b in timed:
+        state, m = step(state, b)
         float(m["loss"])
     dt = (time.perf_counter() - t0) / n_steps
     return {"mode": mode, "ms_per_step": round(1000 * dt, 1),
