@@ -64,16 +64,38 @@ def evaluate_on_test(model: FlowCompareModel, params, state,
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     c = model.config
+    n_dir = 4 if compute_reverse else 2
 
     @jax.jit
-    def eval_directions(params, state, stacked_batch, key):
+    def eval_directions(params, state, contexts, targets, extra, idx):
         """All conditioning directions of one eval batch stacked along the
-        batch axis — ONE compiled dispatch instead of 2 (or 4)."""
-        loss, log_prob, _, _ = inner_loop(
-            model, params, state, stacked_batch, rng=key, training=False)
-        return log_prob
-
-    n_dir = 4 if compute_reverse else 2
+        batch axis, scored, in ONE compiled dispatch. The stacking, change
+        scoring and nats reduction all live INSIDE the jit: through the
+        hosted-TPU tunnel every eager op (concatenate, mean, split) is a
+        ~12-30 ms round trip, so the per-item host code must issue exactly
+        one dispatch."""
+        extra_s = (jnp.concatenate([extra] * n_dir)
+                   if (extra is not None and c["using_extra_context"])
+                   else None)
+        stacked = (jnp.concatenate(contexts), jnp.concatenate(targets),
+                   extra_s)
+        key = jax.random.fold_in(rng, idx)  # key derivation on device too
+        _, log_prob, _, _ = inner_loop(
+            model, params, state, stacked, rng=key, training=False)
+        b = targets[0].shape[0]
+        lp_1_0, lp_0_0 = log_prob[:b], log_prob[b:2 * b]
+        change_1_0 = log_prob_to_change(lp_1_0, lp_0_0, multiple=multiple)
+        frac_fwd = jnp.mean((change_1_0 > 0).astype(jnp.float32), axis=-1)
+        nats_item = -jnp.mean(lp_1_0) * LOG2E / c["input_dim"]
+        if compute_reverse:
+            lp_0_1, lp_1_1 = log_prob[2 * b:3 * b], log_prob[3 * b:]
+            change_0_1 = log_prob_to_change(lp_0_1, lp_1_1,
+                                            multiple=multiple)
+            frac_rev = jnp.mean((change_0_1 > 0).astype(jnp.float32),
+                                axis=-1)
+        else:
+            frac_rev = None
+        return change_1_0, frac_fwd, frac_rev, nats_item
     nats_avg = 0.0
     change_mean_list: list[float] = []
     reverse_change_list: list[float] = []
@@ -86,29 +108,19 @@ def evaluate_on_test(model: FlowCompareModel, params, state,
                                       if compute_reverse else [])
         targets = [v1s, v0s_self] + ([v_opp_small, v1s_self]
                                      if compute_reverse else [])
-        extra_s = (jnp.concatenate([extra] * n_dir)
-                   if (extra is not None and c["using_extra_context"]) else None)
-        key, rng = jax.random.split(rng)
-        lp = eval_directions(
-            params, state,
-            (jnp.concatenate(contexts), jnp.concatenate(targets), extra_s), key)
-        lp_1_0, lp_0_0 = lp[:b], lp[b:2 * b]
-        change_1_0 = log_prob_to_change(lp_1_0, lp_0_0, multiple=multiple)
-        change_mean_list.extend(
-            np.asarray(jnp.mean((change_1_0 > 0).astype(jnp.float32),
-                                axis=-1)).tolist())
+        change_1_0, frac_fwd, frac_rev, nats_item = eval_directions(
+            params, state, tuple(contexts), tuple(targets), extra,
+            np.int32(batch_ind))
+        change_mean_list.extend(np.asarray(frac_fwd).tolist())
         if compute_reverse:
-            lp_0_1, lp_1_1 = lp[2 * b:3 * b], lp[3 * b:]
-            change_0_1 = log_prob_to_change(lp_0_1, lp_1_1, multiple=multiple)
-            reverse_change_list.extend(
-                np.asarray(jnp.mean((change_0_1 > 0).astype(jnp.float32),
-                                    axis=-1)).tolist())
+            reverse_change_list.extend(np.asarray(frac_rev).tolist())
         if generate_samples:
             import os
             from ..model import make_sample
             from ..viz import save_cloud
             os.makedirs(samples_dir, exist_ok=True)
-            key, rng = jax.random.split(rng)
+            # disjoint from the eval stream via a second fold level
+            key = jax.random.fold_in(jax.random.fold_in(rng, batch_ind), 1)
             gen = make_sample(model, params, state, key, n_gen_points,
                               v0l[:1], extra[:1] if extra is not None and
                               c["using_extra_context"] else None)
@@ -122,8 +134,7 @@ def evaluate_on_test(model: FlowCompareModel, params, state,
                 save_cloud(f"{samples_dir}/{change_val:.2f}_{batch_ind}_{name}",
                            cn[:, :3], np.clip(cn[:, 3:6], 0, 1))
         # nats as the reference computes it: from the t1|t0 direction
-        nats_item = float(-jnp.mean(lp_1_0)) * LOG2E / c["input_dim"]
-        nats_avg = (nats_avg * batch_ind + nats_item) / (batch_ind + 1)
+        nats_avg = (nats_avg * batch_ind + float(nats_item)) / (batch_ind + 1)
     if compute_reverse:
         return nats_avg, change_mean_list, reverse_change_list
     return nats_avg, change_mean_list

@@ -84,13 +84,32 @@ def main():
             jax.random.normal(jax.random.fold_in(ks[2], i), (B, 1)),
         ), jax.random.fold_in(ks[3], i))
 
+    CH = 10
+
+    @jax.jit
+    def enc_chunk(params, state, ptss):
+        def body(carry, pts):
+            out, _ = model.embed(params, state, pts, training=False)
+            return carry, jnp.sum(out)
+        _, sums = jax.lax.scan(body, 0, ptss)
+        return sums
+
+    def enc_chunk_args(i):
+        return (params, state,
+                jax.random.normal(jax.random.fold_in(ks[1], i),
+                                  (CH, B, cfg["n_samples_context"], 6)))
+
     enc_ms = 1000 * timed(enc, enc_args)
     full_ms = 1000 * timed(full, full_args)
+    encc_ms = 1000 * timed(enc_chunk, enc_chunk_args) / CH
     rec = {"encoder_ms_per_batch": round(enc_ms, 2),
            "full_eval_ms_per_batch": round(full_ms, 2),
+           "encoder_chunked_ms_per_batch": round(encc_ms, 2),
            "encoder_share": round(enc_ms / full_ms, 3),
-           "note": "single-batch dispatch (not chunked); subtract ~25 ms "
-                   "tunnel overhead from both for device-time comparison"}
+           "note": "single-batch rows carry the full per-dispatch tunnel "
+                   "overhead; encoder_chunked (scan of 10 in one jit) is "
+                   "the honest device-time figure — compare against the "
+                   "chunked eval batch time from bench.py"}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
