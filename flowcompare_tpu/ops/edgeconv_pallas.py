@@ -45,6 +45,31 @@ _ROW_BLOCK = 256     # rows sharing one binary-search chain
 _ROW_SUB = 32       # rows per extraction sub-block (VMEM: H is R_SUB*k*Npad bf16)
 _F32_INF_BITS = 0x7F800000
 
+# Trace-time ablation knob (tools/ablate_enm.py): "full" is production;
+# every other value produces WRONG OUTPUTS and exists only so the kernel's
+# internal stages can be timed by subtraction on chip.
+_ABLATE = "full"
+
+# Packed single prefix chain: both tie-selection and slotting ranks ride ONE
+# log-step prefix-sum over (strict + ties<<12) — exact because
+#   sel_rank_j = (#strict <= j) + min(#ties <= j, m),  m = k - cnt_strict
+# (the first m ties by index are the selected ones, so the count of selected
+# ties up to j saturates at m). Counts <= Npad < 4096 so the two 12-bit
+# fields never carry into each other. Halves the prefix-sum passes vs the
+# two-chain formulation. Trace-time flag for A/B (tools/ab_enm_flags.py).
+# Production True: bit-exact, 26.7 vs 28.0 ms/batch standalone
+# (save/bench/ab_enm_flags.json, 2026-08-18).
+_PACKED_PREFIX = True
+
+# Store the selection rank scratch in bf16 and build the one-hot with the
+# arithmetic indicator relu(1-(rk-t)^2) (exact for small-integer bf16;
+# Mosaic has no bf16 broadcast-compare lowering). MEASURED LOSS on chip:
+# +2.5 ms/batch vs the int32 compare build — bf16 sub/mul/max on this
+# layout do not actually pack 2-per-lane (ab_enm_flags.json). Keep False.
+# Row-block 640/1280 and _ROW_SUB=64 were also neutral-to-negative in the
+# same A/B: the ~6 ms/batch noextract base is NOT per-grid-step overhead.
+_BF16_RANK = False
+
 
 def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, rank_ref, *, k: int):
     xb = xblk_ref[0]          # (R, Cq)
@@ -68,37 +93,52 @@ def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, rank_ref, *, k: int):
 
     lo0 = jnp.zeros((r, 1), jnp.int32)
     hi0 = jnp.full((r, 1), _F32_INF_BITS, jnp.int32)
-    _, thresh = jax.lax.fori_loop(0, 31, bs_body, (lo0, hi0))
+    n_bs = 8 if _ABLATE == "bs8" else 31
+    _, thresh = jax.lax.fori_loop(0, n_bs, bs_body, (lo0, hi0))
 
     strict = d_int < thresh
     ties = d_int == thresh
-    cnt_strict = jnp.sum(strict.astype(jnp.int32), axis=1, keepdims=True)
-    # inclusive prefix sum via log-step doubling (cumsum has no Pallas TPU
-    # lowering); width is static so the loop unrolls at trace time
-    rank = ties.astype(jnp.int32)
-    width = rank.shape[1]
-    shift = 1
-    while shift < width:
-        shifted = jnp.concatenate(
-            [jnp.zeros((rank.shape[0], shift), jnp.int32), rank[:, :-shift]],
-            axis=1)
-        rank = rank + shifted
-        shift *= 2
-    mask = strict | (ties & (rank <= (k - cnt_strict)))
-    mask_i = mask.astype(jnp.int32)
+    rdt = rank_ref.dtype
 
-    # selection rank: prefix count of selected entries (1..k on selected
-    # positions — the tie logic guarantees exactly k per row), same log-step
-    # doubling as above
-    sel_rank = mask_i
-    shift = 1
-    while shift < width:
-        shifted = jnp.concatenate(
-            [jnp.zeros((sel_rank.shape[0], shift), jnp.int32),
-             sel_rank[:, :-shift]], axis=1)
-        sel_rank = sel_rank + shifted
-        shift *= 2
-    rank_ref[:, :] = jnp.where(mask, sel_rank, 0)
+    def prefix(v):
+        """Inclusive prefix sum via log-step doubling (cumsum has no Pallas
+        TPU lowering); width is static so the loop unrolls at trace time."""
+        width = v.shape[1]
+        shift = 1
+        while shift < width:
+            shifted = jnp.concatenate(
+                [jnp.zeros((v.shape[0], shift), v.dtype), v[:, :-shift]],
+                axis=1)
+            v = v + shifted
+            shift *= 2
+        return v
+
+    if _ABLATE == "noprefix":
+        mask = strict | ties
+        rank_ref[:, :] = jnp.where(mask, 1, 0).astype(rdt)
+    elif _PACKED_PREFIX:
+        # one packed chain (see flag comment): low 12 bits count strict,
+        # high bits count ties; both inclusive
+        p = prefix(strict.astype(jnp.int32)
+                   + jax.lax.shift_left(ties.astype(jnp.int32), 12))
+        sp = jax.lax.bitwise_and(p, 4095)
+        tp = jax.lax.shift_right_logical(p, 12)
+        m = k - sp[:, -1:]                       # ties to admit, 1..k
+        mask = strict | (ties & (tp <= m))
+        sel_rank = sp + jnp.minimum(tp, m)
+        rank_ref[:, :] = jnp.where(mask, sel_rank, 0).astype(rdt)
+    else:
+        cnt_strict = jnp.sum(strict.astype(jnp.int32), axis=1, keepdims=True)
+        rank = prefix(ties.astype(jnp.int32))
+        mask = strict | (ties & (rank <= (k - cnt_strict)))
+        # selection rank: prefix count of selected entries (1..k on selected
+        # positions — the tie logic guarantees exactly k per row)
+        sel_rank = prefix(mask.astype(jnp.int32))
+        rank_ref[:, :] = jnp.where(mask, sel_rank, 0).astype(rdt)
+
+    if _ABLATE == "noextract":
+        outmax_ref[0, :, :] = ufull_ref[0, pl.ds(0, r), :]
+        return
 
     # one-hot MXU extraction: H[i, t, j] = (sel_rank_ij == t+1) picks the
     # t-th selected neighbour; (R_SUB*k, Npad) @ (Npad, Cout) gathers all k
@@ -107,14 +147,31 @@ def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, rank_ref, *, k: int):
     n_sub = r // _ROW_SUB
     u_all = ufull_ref[0]                                     # (Npad, Cout)
     width_pad = u_all.shape[0]
-    t_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (_ROW_SUB, k, width_pad), 1) + 1
+    # one-hot equality operands in the rank scratch's dtype: with _BF16_RANK
+    # the (R_SUB, k, Npad) compare — the kernel's largest VPU term — runs on
+    # packed bf16 lanes (ranks <= k are exact in bf16)
+    t_iota = (jax.lax.broadcasted_iota(
+        jnp.int32, (_ROW_SUB, k, width_pad), 1) + 1).astype(rdt)
 
     def sub_body(si, _):
         rk = rank_ref[pl.ds(si * _ROW_SUB, _ROW_SUB), :]     # (R_SUB, Npad)
-        h = (rk[:, None, :] == t_iota).astype(jnp.bfloat16)
-        sel = jnp.dot(h.reshape(_ROW_SUB * k, width_pad), u_all,
-                      preferred_element_type=jnp.float32)
+        if _BF16_RANK:
+            # arithmetic one-hot: relu(1 - (rk-t)^2) is EXACTLY the
+            # indicator [rk == t] for integer-valued bf16 rk, t <= k
+            # (any nonzero integer square rounds to >= 1 in bf16, and 1 is
+            # exact) — Mosaic has no bf16 broadcast-compare lowering, but
+            # sub/mul/max pack 2-per-lane
+            dlt = rk[:, None, :] - t_iota
+            h = jnp.maximum(jnp.bfloat16(1) - dlt * dlt, jnp.bfloat16(0))
+        else:
+            h = (rk[:, None, :] == t_iota).astype(jnp.bfloat16)
+        if _ABLATE == "nomatmul":
+            sel = jnp.broadcast_to(
+                h.reshape(_ROW_SUB * k, width_pad)[:, :1],
+                (_ROW_SUB * k, cout)).astype(jnp.float32)
+        else:
+            sel = jnp.dot(h.reshape(_ROW_SUB * k, width_pad), u_all,
+                          preferred_element_type=jnp.float32)
         sel = sel.reshape(_ROW_SUB, k, cout)
         outmax_ref[0, pl.ds(si * _ROW_SUB, _ROW_SUB), :] = (
             jnp.max(sel, axis=1).astype(jnp.bfloat16))
@@ -158,7 +215,9 @@ def edge_neighbor_max(x: jnp.ndarray, u: jnp.ndarray, k: int,
                                lambda bi, ri: (bi, ri, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, npad, cout), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((_ROW_BLOCK, npad), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM(
+            (_ROW_BLOCK, npad),
+            jnp.bfloat16 if _BF16_RANK else jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
