@@ -51,6 +51,11 @@ def edge_features(x: jnp.ndarray, k: int) -> jnp.ndarray:
 # control uses it to separate chip effects from formulation/bf16 noise).
 _FORCE_FUSED_TRAIN_INTERPRET = False
 
+# Fused EVAL encoder as ONE Pallas launch (ops/dgcnn_pallas.py: all four
+# EdgeConv stages + conv5 + per-point head in VMEM per item) instead of the
+# per-stage kernels + XLA glue. Trace-time flag for chip A/B.
+_ONE_LAUNCH = True
+
 
 def _leaky(x):
     return jax.nn.leaky_relu(x, negative_slope=0.2)
@@ -172,6 +177,19 @@ def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
     use_fused_train = (fused and training
                        and (jax.default_backend() == "tpu"
                             or _FORCE_FUSED_TRAIN_INTERPRET))
+    if use_fused and _ONE_LAUNCH:
+        from ..ops.dgcnn_pallas import fused_dgcnn_encoder
+        new_state = {f"bn{i}": state[f"bn{i}"] for i in range(1, 6)}
+        if global_pool:
+            trunk = fused_dgcnn_encoder(x, params, state, k=n_neighbors,
+                                        head=False)
+            pooled = jnp.concatenate(
+                [jnp.max(trunk, axis=1),
+                 jnp.mean(trunk.astype(jnp.float32), axis=1).astype(trunk.dtype)],
+                axis=-1)
+            return apply_mlp(params["out_mlp"], pooled, gelu), new_state
+        out = fused_dgcnn_encoder(x, params, state, k=n_neighbors, head=True)
+        return out, new_state
     h = x
     for i in range(1, 5):
         if use_fused:

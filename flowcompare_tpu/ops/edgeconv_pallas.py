@@ -70,12 +70,22 @@ _PACKED_PREFIX = True
 # same A/B: the ~6 ms/batch noextract base is NOT per-grid-step overhead.
 _BF16_RANK = False
 
+# Python-unroll the extraction sub-block loop: a fori_loop body is a
+# scheduling barrier for Mosaic, so the looped form serializes each
+# sub-block's one-hot BUILD (VPU) with its gather MATMUL (MXU). Unrolled,
+# the 8 build+dot pairs form one straight-line block and the scheduler can
+# overlap sub-block i's MXU dot with i+1's VPU build. Trace-time.
+_UNROLL_EXTRACT = True
 
-def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, rank_ref, *, k: int):
-    xb = xblk_ref[0]          # (R, Cq)
-    xf = xfull_ref[0]         # (Npad, Cq)
+
+def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
+    """Exact kNN selection of `k` neighbours of each row of xb among the
+    rows of xf (squared euclidean, lax.top_k tie semantics: smallest
+    distance first, ties admitted in index order), written into rank_ref as
+    slot ranks 1..k on selected columns / 0 elsewhere. This is the
+    search+rank half of the edge_neighbor_max kernel, shared with the
+    whole-encoder megakernel (ops/dgcnn_pallas.py)."""
     r = xb.shape[0]
-    cout = ufull_ref.shape[-1]
 
     cross = jnp.dot(xb, xf.T, preferred_element_type=jnp.float32)
     nb = jnp.sum(xb.astype(jnp.float32) ** 2, axis=1, keepdims=True)
@@ -136,20 +146,20 @@ def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, rank_ref, *, k: int):
         sel_rank = prefix(mask.astype(jnp.int32))
         rank_ref[:, :] = jnp.where(mask, sel_rank, 0).astype(rdt)
 
-    if _ABLATE == "noextract":
-        outmax_ref[0, :, :] = ufull_ref[0, pl.ds(0, r), :]
-        return
+def _knn_extract_max(u_all, rank_ref, store, *, k: int, r: int):
+    """One-hot MXU extraction of the per-row kNN max of u_all.
 
-    # one-hot MXU extraction: H[i, t, j] = (sel_rank_ij == t+1) picks the
-    # t-th selected neighbour; (R_SUB*k, Npad) @ (Npad, Cout) gathers all k
-    # neighbours' u rows at MXU rate, then a tiny max over k — replaces a
-    # full (R, Npad, Cout) masked-max VPU sweep
+    H[i, t, j] = (sel_rank_ij == t+1) picks the t-th selected neighbour;
+    (R_SUB*k, Npad) @ (Npad, Cout) gathers all k neighbours' u rows at MXU
+    rate, then a tiny max over k — replaces a full (R, Npad, Cout)
+    masked-max VPU sweep. `store(si, values)` writes each (R_SUB, Cout)
+    bf16 max block (si is the traced sub-block index). Shared with the
+    whole-encoder megakernel (ops/dgcnn_pallas.py)."""
     n_sub = r // _ROW_SUB
-    u_all = ufull_ref[0]                                     # (Npad, Cout)
+    cout = u_all.shape[-1]
     width_pad = u_all.shape[0]
-    # one-hot equality operands in the rank scratch's dtype: with _BF16_RANK
-    # the (R_SUB, k, Npad) compare — the kernel's largest VPU term — runs on
-    # packed bf16 lanes (ranks <= k are exact in bf16)
+    rdt = rank_ref.dtype
+    # one-hot equality operands in the rank scratch's dtype (see _BF16_RANK)
     t_iota = (jax.lax.broadcasted_iota(
         jnp.int32, (_ROW_SUB, k, width_pad), 1) + 1).astype(rdt)
 
@@ -159,8 +169,8 @@ def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, rank_ref, *, k: int):
             # arithmetic one-hot: relu(1 - (rk-t)^2) is EXACTLY the
             # indicator [rk == t] for integer-valued bf16 rk, t <= k
             # (any nonzero integer square rounds to >= 1 in bf16, and 1 is
-            # exact) — Mosaic has no bf16 broadcast-compare lowering, but
-            # sub/mul/max pack 2-per-lane
+            # exact) — Mosaic has no bf16 broadcast-compare lowering.
+            # MEASURED LOSS vs the int32 compare (see flag); kept for A/B.
             dlt = rk[:, None, :] - t_iota
             h = jnp.maximum(jnp.bfloat16(1) - dlt * dlt, jnp.bfloat16(0))
         else:
@@ -173,11 +183,31 @@ def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, rank_ref, *, k: int):
             sel = jnp.dot(h.reshape(_ROW_SUB * k, width_pad), u_all,
                           preferred_element_type=jnp.float32)
         sel = sel.reshape(_ROW_SUB, k, cout)
-        outmax_ref[0, pl.ds(si * _ROW_SUB, _ROW_SUB), :] = (
-            jnp.max(sel, axis=1).astype(jnp.bfloat16))
+        store(si, jnp.max(sel, axis=1).astype(jnp.bfloat16))
         return 0
 
-    jax.lax.fori_loop(0, n_sub, sub_body, 0)
+    if _UNROLL_EXTRACT:
+        for si in range(n_sub):
+            sub_body(si, 0)
+    else:
+        jax.lax.fori_loop(0, n_sub, sub_body, 0)
+
+
+def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, rank_ref, *, k: int):
+    xb = xblk_ref[0]          # (R, Cq)
+    xf = xfull_ref[0]         # (Npad, Cq)
+    r = xb.shape[0]
+
+    _knn_select_ranks(xb, xf, rank_ref, k=k)
+
+    if _ABLATE == "noextract":
+        outmax_ref[0, :, :] = ufull_ref[0, pl.ds(0, r), :]
+        return
+
+    def store(si, vals):
+        outmax_ref[0, pl.ds(si * _ROW_SUB, _ROW_SUB), :] = vals
+
+    _knn_extract_max(ufull_ref[0], rank_ref, store, k=k, r=r)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
