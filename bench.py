@@ -58,7 +58,7 @@ import jax.numpy as jnp
 A100_BASELINE_POINTS_PER_SEC = 75_000.0
 # batches per compiled dispatch (amortises the ~25 ms tunnel round-trip;
 # chunk-size sweep with device-resident inputs: save/bench/ab_bench_chunk.json)
-CHUNK = int(os.environ.get("FLOWCOMPARE_BENCH_CHUNK", "40"))
+CHUNK = int(os.environ.get("FLOWCOMPARE_BENCH_CHUNK", "80"))
 N_CHUNKS = 3       # timed chunks
 
 

@@ -173,10 +173,12 @@ def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
     if dtype is not None:
         params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
         x = x.astype(dtype)
-    use_fused = fused and not training
-    use_fused_train = (fused and training
-                       and (jax.default_backend() == "tpu"
-                            or _FORCE_FUSED_TRAIN_INTERPRET))
+    # compiled-Pallas paths need a real TPU backend; on CPU fall back to the
+    # gather formulation (same math) instead of failing to lower
+    on_tpu = (jax.default_backend() == "tpu"
+              or _FORCE_FUSED_TRAIN_INTERPRET)
+    use_fused = fused and not training and on_tpu
+    use_fused_train = fused and training and on_tpu
     if use_fused and _ONE_LAUNCH:
         from ..ops.dgcnn_pallas import fused_dgcnn_encoder
         new_state = {f"bn{i}": state[f"bn{i}"] for i in range(1, 6)}

@@ -66,14 +66,19 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
         u_all = u.astype(jnp.bfloat16)
 
         def rb_body(rb, _, cin=cin, cout=cout, u_all=u_all):
+            from .edgeconv_pallas import _UNROLL_EXTRACT
             xb = h_ref[pl.ds(rb * _ROW_BLOCK, _ROW_BLOCK), :cin]
-            _knn_select_ranks(xb, h_ref[:, :cin], rank_ref, k=k)
+            ranks = _knn_select_ranks(
+                xb, h_ref[:, :cin], None if _UNROLL_EXTRACT else rank_ref,
+                k=k)
 
             def store(sj, vals, rb=rb, cout=cout):
                 mx_ref[pl.ds(rb * _ROW_BLOCK + sj * _ROW_SUB, _ROW_SUB),
                        :cout] = vals
 
-            _knn_extract_max(u_all, rank_ref, store, k=k, r=_ROW_BLOCK)
+            _knn_extract_max(u_all, ranks if _UNROLL_EXTRACT else rank_ref,
+                             store, k=k, r=_ROW_BLOCK,
+                             from_ref=not _UNROLL_EXTRACT)
             return 0
 
         jax.lax.fori_loop(0, npad // _ROW_BLOCK, rb_body, 0)

@@ -81,10 +81,13 @@ _UNROLL_EXTRACT = True
 def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
     """Exact kNN selection of `k` neighbours of each row of xb among the
     rows of xf (squared euclidean, lax.top_k tie semantics: smallest
-    distance first, ties admitted in index order), written into rank_ref as
-    slot ranks 1..k on selected columns / 0 elsewhere. This is the
-    search+rank half of the edge_neighbor_max kernel, shared with the
-    whole-encoder megakernel (ops/dgcnn_pallas.py)."""
+    distance first, ties admitted in index order), returned (and, when
+    rank_ref is not None, also stored) as slot ranks 1..k on selected
+    columns / 0 elsewhere. This is the search+rank half of the
+    edge_neighbor_max kernel, shared with the whole-encoder megakernel
+    (ops/dgcnn_pallas.py). Passing rank_ref=None keeps the ranks as a VMEM
+    value — the unrolled extraction slices it statically, skipping a
+    (R, Npad) scratch store + reload per block."""
     r = xb.shape[0]
 
     cross = jnp.dot(xb, xf.T, preferred_element_type=jnp.float32)
@@ -108,7 +111,8 @@ def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
 
     strict = d_int < thresh
     ties = d_int == thresh
-    rdt = rank_ref.dtype
+    rdt = (rank_ref.dtype if rank_ref is not None
+           else (jnp.bfloat16 if _BF16_RANK else jnp.int32))
 
     def prefix(v):
         """Inclusive prefix sum via log-step doubling (cumsum has no Pallas
@@ -125,7 +129,7 @@ def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
 
     if _ABLATE == "noprefix":
         mask = strict | ties
-        rank_ref[:, :] = jnp.where(mask, 1, 0).astype(rdt)
+        sel_rank = 1
     elif _PACKED_PREFIX:
         # one packed chain (see flag comment): low 12 bits count strict,
         # high bits count ties; both inclusive
@@ -136,7 +140,6 @@ def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
         m = k - sp[:, -1:]                       # ties to admit, 1..k
         mask = strict | (ties & (tp <= m))
         sel_rank = sp + jnp.minimum(tp, m)
-        rank_ref[:, :] = jnp.where(mask, sel_rank, 0).astype(rdt)
     else:
         cnt_strict = jnp.sum(strict.astype(jnp.int32), axis=1, keepdims=True)
         rank = prefix(ties.astype(jnp.int32))
@@ -144,27 +147,39 @@ def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
         # selection rank: prefix count of selected entries (1..k on selected
         # positions — the tie logic guarantees exactly k per row)
         sel_rank = prefix(mask.astype(jnp.int32))
-        rank_ref[:, :] = jnp.where(mask, sel_rank, 0).astype(rdt)
+    val = jnp.where(mask, sel_rank, 0).astype(rdt)
+    if rank_ref is not None:
+        rank_ref[:, :] = val
+    return val
 
-def _knn_extract_max(u_all, rank_ref, store, *, k: int, r: int):
+def _knn_extract_max(u_all, ranks, store, *, k: int, r: int,
+                     from_ref: bool = True):
     """One-hot MXU extraction of the per-row kNN max of u_all.
 
     H[i, t, j] = (sel_rank_ij == t+1) picks the t-th selected neighbour;
     (R_SUB*k, Npad) @ (Npad, Cout) gathers all k neighbours' u rows at MXU
     rate, then a tiny max over k — replaces a full (R, Npad, Cout)
     masked-max VPU sweep. `store(si, values)` writes each (R_SUB, Cout)
-    bf16 max block (si is the traced sub-block index). Shared with the
-    whole-encoder megakernel (ops/dgcnn_pallas.py)."""
+    bf16 max block. Shared with the whole-encoder megakernel
+    (ops/dgcnn_pallas.py). `ranks` is the rank scratch ref (from_ref=True,
+    works under a fori sub-block loop) or the _knn_select_ranks VALUE
+    (from_ref=False — requires _UNROLL_EXTRACT so the sub-block slices are
+    static; skips the scratch store/reload)."""
     n_sub = r // _ROW_SUB
     cout = u_all.shape[-1]
     width_pad = u_all.shape[0]
-    rdt = rank_ref.dtype
+    rdt = ranks.dtype
     # one-hot equality operands in the rank scratch's dtype (see _BF16_RANK)
     t_iota = (jax.lax.broadcasted_iota(
         jnp.int32, (_ROW_SUB, k, width_pad), 1) + 1).astype(rdt)
+    assert from_ref or _UNROLL_EXTRACT, \
+        "value-mode ranks need static sub-block slices (_UNROLL_EXTRACT)"
 
     def sub_body(si, _):
-        rk = rank_ref[pl.ds(si * _ROW_SUB, _ROW_SUB), :]     # (R_SUB, Npad)
+        if from_ref:
+            rk = ranks[pl.ds(si * _ROW_SUB, _ROW_SUB), :]    # (R_SUB, Npad)
+        else:
+            rk = ranks[si * _ROW_SUB:(si + 1) * _ROW_SUB, :]
         if _BF16_RANK:
             # arithmetic one-hot: relu(1 - (rk-t)^2) is EXACTLY the
             # indicator [rk == t] for integer-valued bf16 rk, t <= k
@@ -198,7 +213,8 @@ def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, rank_ref, *, k: int):
     xf = xfull_ref[0]         # (Npad, Cq)
     r = xb.shape[0]
 
-    _knn_select_ranks(xb, xf, rank_ref, k=k)
+    use_value = _UNROLL_EXTRACT and _ABLATE != "noextract"
+    ranks = _knn_select_ranks(xb, xf, None if use_value else rank_ref, k=k)
 
     if _ABLATE == "noextract":
         outmax_ref[0, :, :] = ufull_ref[0, pl.ds(0, r), :]
@@ -207,7 +223,8 @@ def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, rank_ref, *, k: int):
     def store(si, vals):
         outmax_ref[0, pl.ds(si * _ROW_SUB, _ROW_SUB), :] = vals
 
-    _knn_extract_max(ufull_ref[0], rank_ref, store, k=k, r=r)
+    _knn_extract_max(ufull_ref[0], ranks if use_value else rank_ref,
+                     store, k=k, r=r, from_ref=not use_value)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
