@@ -51,6 +51,11 @@ def edge_features(x: jnp.ndarray, k: int) -> jnp.ndarray:
 # control uses it to separate chip effects from formulation/bf16 noise).
 _FORCE_FUSED_TRAIN_INTERPRET = False
 
+# Testing hook: take the fused EVAL paths on CPU, in Pallas interpret mode
+# (tests/test_pallas_kernels.py covers the per-stage fused path and the
+# one-launch megakernel against the gather formulation this way).
+_FORCE_FUSED_EVAL_INTERPRET = False
+
 # Fused EVAL encoder as ONE Pallas launch (ops/dgcnn_pallas.py: all four
 # EdgeConv stages + conv5 + per-point head in VMEM per item) instead of the
 # per-stage kernels + XLA glue. Trace-time flag for chip A/B.
@@ -75,6 +80,14 @@ def _conv_bn_leaky(params, state, x, training):
 
 
 _EDGE_DIMS = [(None, 64), (64, 64), (64, 128), (128, 256)]
+
+
+def _global_pool(h: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, C) -> (B, 2C): max ++ mean over points (DGCNNembedderGlobal's
+    adaptive max+avg pooling; mean in f32)."""
+    return jnp.concatenate(
+        [jnp.max(h, axis=1),
+         jnp.mean(h.astype(jnp.float32), axis=1).astype(h.dtype)], axis=-1)
 
 
 def init_dgcnn(key: jax.Array, *, input_dim: int = 6, emb_dim: int,
@@ -175,22 +188,21 @@ def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
         x = x.astype(dtype)
     # compiled-Pallas paths need a real TPU backend; on CPU fall back to the
     # gather formulation (same math) instead of failing to lower
-    on_tpu = (jax.default_backend() == "tpu"
-              or _FORCE_FUSED_TRAIN_INTERPRET)
-    use_fused = fused and not training and on_tpu
-    use_fused_train = fused and training and on_tpu
+    use_fused = fused and not training and (
+        jax.default_backend() == "tpu" or _FORCE_FUSED_EVAL_INTERPRET)
+    use_fused_train = fused and training and (
+        jax.default_backend() == "tpu" or _FORCE_FUSED_TRAIN_INTERPRET)
     if use_fused and _ONE_LAUNCH:
         from ..ops.dgcnn_pallas import fused_dgcnn_encoder
         new_state = {f"bn{i}": state[f"bn{i}"] for i in range(1, 6)}
+        interp = _FORCE_FUSED_EVAL_INTERPRET
         if global_pool:
             trunk = fused_dgcnn_encoder(x, params, state, k=n_neighbors,
-                                        head=False)
-            pooled = jnp.concatenate(
-                [jnp.max(trunk, axis=1),
-                 jnp.mean(trunk.astype(jnp.float32), axis=1).astype(trunk.dtype)],
-                axis=-1)
-            return apply_mlp(params["out_mlp"], pooled, gelu), new_state
-        out = fused_dgcnn_encoder(x, params, state, k=n_neighbors, head=True)
+                                        head=False, interpret=interp)
+            return apply_mlp(params["out_mlp"], _global_pool(trunk),
+                             gelu), new_state
+        out = fused_dgcnn_encoder(x, params, state, k=n_neighbors, head=True,
+                                  interpret=interp)
         return out, new_state
     h = x
     for i in range(1, 5):
@@ -211,8 +223,6 @@ def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
     h = jnp.concatenate(feats, axis=-1)  # (B, N, 512)
     h, new_state["bn5"] = _conv_bn_leaky(params["conv5"], state["bn5"], h, training)
     if global_pool:
-        h = jnp.concatenate(
-            [jnp.max(h, axis=1), jnp.mean(h.astype(jnp.float32), axis=1).astype(h.dtype)],
-            axis=-1)
+        h = _global_pool(h)
     out = apply_mlp(params["out_mlp"], h, gelu)
     return out, new_state

@@ -32,8 +32,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .edgeconv_pallas import (_BF16_RANK, _ROW_BLOCK, _ROW_SUB,
-                              _knn_extract_max, _knn_select_ranks)
+# module import (not from-import): _BF16_RANK/_ROW_BLOCK/_ROW_SUB/
+# _UNROLL_EXTRACT are trace-time A/B flags — read them LIVE so setattr-based
+# tools see consistent behavior here and in edgeconv_pallas
+from . import edgeconv_pallas as _ep
 from .flow_layer_pallas import _gelu
 
 _PAD_FAR = 1e4  # same far-away pad value the per-stage wrapper uses
@@ -44,7 +46,9 @@ def _leaky(x):
 
 
 def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
-            n_head: int, head: bool):
+            n_head: int, head: bool, use_value: bool):
+    rb_block = _ep._ROW_BLOCK
+    row_sub = _ep._ROW_SUB
     it = iter(refs)
     x_ref = next(it)                      # (1, npad, in_dim) bf16
     stages = [tuple(next(it) for _ in range(5)) for _ in dims]
@@ -54,7 +58,7 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
     h_ref = next(it)                      # (npad, 256) bf16 scratch
     mx_ref = next(it)                     # (npad, 256) bf16 scratch
     feats_ref = next(it)                  # (npad, 512) bf16 scratch
-    rank_ref = next(it)                   # (_ROW_BLOCK, npad) scratch
+    rank_ref = None if use_value else next(it)   # (rb_block, npad) scratch
 
     h_ref[:, :in_dim] = x_ref[0]
     ofs = 0
@@ -66,22 +70,20 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
         u_all = u.astype(jnp.bfloat16)
 
         def rb_body(rb, _, cin=cin, cout=cout, u_all=u_all):
-            from .edgeconv_pallas import _UNROLL_EXTRACT
-            xb = h_ref[pl.ds(rb * _ROW_BLOCK, _ROW_BLOCK), :cin]
-            ranks = _knn_select_ranks(
-                xb, h_ref[:, :cin], None if _UNROLL_EXTRACT else rank_ref,
-                k=k)
+            xb = h_ref[pl.ds(rb * rb_block, rb_block), :cin]
+            ranks = _ep._knn_select_ranks(
+                xb, h_ref[:, :cin], None if use_value else rank_ref, k=k)
 
             def store(sj, vals, rb=rb, cout=cout):
-                mx_ref[pl.ds(rb * _ROW_BLOCK + sj * _ROW_SUB, _ROW_SUB),
+                mx_ref[pl.ds(rb * rb_block + sj * row_sub, row_sub),
                        :cout] = vals
 
-            _knn_extract_max(u_all, ranks if _UNROLL_EXTRACT else rank_ref,
-                             store, k=k, r=_ROW_BLOCK,
-                             from_ref=not _UNROLL_EXTRACT)
+            _ep._knn_extract_max(u_all, ranks if use_value else rank_ref,
+                                 store, k=k, r=rb_block,
+                                 from_ref=not use_value)
             return 0
 
-        jax.lax.fori_loop(0, npad // _ROW_BLOCK, rb_body, 0)
+        jax.lax.fori_loop(0, npad // rb_block, rb_body, 0)
 
         z = (sign[...].astype(jnp.float32)
              * mx_ref[:, :cout].astype(jnp.float32) + c)
@@ -154,7 +156,9 @@ def fold_dgcnn(params: dict, state: dict, *, bn_eps: float = 1e-5) -> dict:
 
 def _run(x, folds, k, head, interpret):
     b, n, in_dim = x.shape
-    npad = -(-n // _ROW_BLOCK) * _ROW_BLOCK
+    rb_block = _ep._ROW_BLOCK
+    use_value = _ep._UNROLL_EXTRACT
+    npad = -(-n // rb_block) * rb_block
     if npad != n:
         x = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)),
                     constant_values=_PAD_FAR)
@@ -186,7 +190,17 @@ def _run(x, folds, k, head, interpret):
 
     kernel = functools.partial(
         _kernel, k=k, n=n, npad=npad, dims=tuple(dims), in_dim=in_dim,
-        n_head=n_head, head=head)
+        n_head=n_head, head=head, use_value=use_value)
+
+    scratch = [
+        pltpu.VMEM((npad, 256), jnp.bfloat16),   # h
+        pltpu.VMEM((npad, 256), jnp.bfloat16),   # mx
+        pltpu.VMEM((npad, 512), jnp.bfloat16),   # stage-skip concat
+    ]
+    if not use_value:
+        scratch.append(pltpu.VMEM(
+            (rb_block, npad),
+            jnp.bfloat16 if _ep._BF16_RANK else jnp.int32))
 
     out = pl.pallas_call(
         kernel,
@@ -195,13 +209,7 @@ def _run(x, folds, k, head, interpret):
         out_specs=pl.BlockSpec((1, npad, out_dim), lambda bi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, npad, out_dim), jnp.bfloat16),
-        scratch_shapes=[
-            pltpu.VMEM((npad, 256), jnp.bfloat16),   # h
-            pltpu.VMEM((npad, 256), jnp.bfloat16),   # mx
-            pltpu.VMEM((npad, 512), jnp.bfloat16),   # stage-skip concat
-            pltpu.VMEM((_ROW_BLOCK, npad),
-                       jnp.bfloat16 if _BF16_RANK else jnp.int32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

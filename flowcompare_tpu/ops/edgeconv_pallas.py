@@ -208,12 +208,21 @@ def _knn_extract_max(u_all, ranks, store, *, k: int, r: int,
         jax.lax.fori_loop(0, n_sub, sub_body, 0)
 
 
-def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, rank_ref, *, k: int):
+def _use_value_ranks() -> bool:
+    """Production (_UNROLL_EXTRACT) keeps the select ranks as a VMEM value —
+    no rank scratch is allocated; the noextract ablation still stores them
+    so the select work can't be dead-coded away."""
+    return _UNROLL_EXTRACT and _ABLATE != "noextract"
+
+
+def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, *maybe_rank,
+            k: int):
     xb = xblk_ref[0]          # (R, Cq)
     xf = xfull_ref[0]         # (Npad, Cq)
     r = xb.shape[0]
 
-    use_value = _UNROLL_EXTRACT and _ABLATE != "noextract"
+    use_value = _use_value_ranks()
+    rank_ref = maybe_rank[0] if maybe_rank else None
     ranks = _knn_select_ranks(xb, xf, None if use_value else rank_ref, k=k)
 
     if _ABLATE == "noextract":
@@ -262,7 +271,7 @@ def edge_neighbor_max(x: jnp.ndarray, u: jnp.ndarray, k: int,
                                lambda bi, ri: (bi, ri, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, npad, cout), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM(
+        scratch_shapes=[] if _use_value_ranks() else [pltpu.VMEM(
             (_ROW_BLOCK, npad),
             jnp.bfloat16 if _BF16_RANK else jnp.int32)],
         compiler_params=pltpu.CompilerParams(

@@ -24,55 +24,44 @@ def test_edge_neighbor_max_matches_gather_path():
 
 
 def test_fused_dgcnn_encoder_matches_per_stage_path():
-    """Whole-encoder megakernel (ops/dgcnn_pallas) vs the per-stage fused
-    path, both in interpret mode, per-point and global-trunk modes. The
-    expected agreement is one bf16 ulp — the same envelope as the
-    per-stage path vs the gather formulation."""
+    """All three eval encoder formulations agree, per-point AND global:
+    gather (pure XLA reference) vs per-stage fused (_ONE_LAUNCH=False, via
+    the interpret-forced edge_neighbor_max) vs the whole-encoder megakernel
+    (_ONE_LAUNCH=True through apply_dgcnn, interpret via
+    _FORCE_FUSED_EVAL_INTERPRET). Expected agreement is ~one bf16 ulp."""
     import functools
 
     from flowcompare_tpu.encoders import dgcnn as dg
     from flowcompare_tpu.ops import edgeconv_pallas as ep
-    from flowcompare_tpu.ops.dgcnn_pallas import fused_dgcnn_encoder
 
     B, N, K = 2, 200, 12
     x = jax.random.normal(jax.random.PRNGKey(1), (B, N, 6))
-    orig_enm, orig_flag = ep.edge_neighbor_max, dg._ONE_LAUNCH
+    orig_enm, orig_ol = ep.edge_neighbor_max, dg._ONE_LAUNCH
     ep.edge_neighbor_max = functools.partial(orig_enm, interpret=True)
-    dg._ONE_LAUNCH = False
+    dg._FORCE_FUSED_EVAL_INTERPRET = True
     try:
-        params, state = dg.init_dgcnn(
-            jax.random.PRNGKey(0), input_dim=6, emb_dim=16,
-            out_mlp_dims=[32, 32], global_pool=False)
-        ref, _ = dg.apply_dgcnn(params, state, x, n_neighbors=K,
-                                training=False, dtype=jnp.bfloat16,
-                                fused=True)
-        p16 = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
-        got = fused_dgcnn_encoder(x.astype(jnp.bfloat16), p16, state, k=K,
-                                  head=True, interpret=True)
-        np.testing.assert_allclose(np.asarray(got, np.float32),
-                                   np.asarray(ref, np.float32), atol=2e-3)
+        for gp, seed in ((False, 0), (True, 2)):
+            params, state = dg.init_dgcnn(
+                jax.random.PRNGKey(seed), input_dim=6, emb_dim=16,
+                out_mlp_dims=[32, 32], global_pool=gp)
 
-        params_g, state_g = dg.init_dgcnn(
-            jax.random.PRNGKey(2), input_dim=6, emb_dim=16,
-            out_mlp_dims=[32, 32], global_pool=True)
-        ref_g, _ = dg.apply_dgcnn(params_g, state_g, x, n_neighbors=K,
-                                  training=False, dtype=jnp.bfloat16,
-                                  fused=True, global_pool=True)
-        pg16 = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16),
-                                      params_g)
-        trunk = fused_dgcnn_encoder(x.astype(jnp.bfloat16), pg16, state_g,
-                                    k=K, head=False, interpret=True)
-        from flowcompare_tpu.core.mlp import apply_mlp, gelu
-        pooled = jnp.concatenate(
-            [jnp.max(trunk, axis=1),
-             jnp.mean(trunk.astype(jnp.float32), axis=1).astype(trunk.dtype)],
-            axis=-1)
-        got_g = apply_mlp(pg16["out_mlp"], pooled, gelu)
-        np.testing.assert_allclose(np.asarray(got_g, np.float32),
-                                   np.asarray(ref_g, np.float32), atol=2e-3)
+            def run(fused):
+                out, _ = dg.apply_dgcnn(params, state, x, n_neighbors=K,
+                                        training=False, dtype=jnp.bfloat16,
+                                        fused=fused, global_pool=gp)
+                return np.asarray(out, np.float32)
+
+            gather = run(False)
+            dg._ONE_LAUNCH = False
+            per_stage = run(True)
+            dg._ONE_LAUNCH = True
+            one_launch = run(True)
+            np.testing.assert_allclose(per_stage, gather, atol=2e-3)
+            np.testing.assert_allclose(one_launch, per_stage, atol=2e-3)
     finally:
         ep.edge_neighbor_max = orig_enm
-        dg._ONE_LAUNCH = orig_flag
+        dg._ONE_LAUNCH = orig_ol
+        dg._FORCE_FUSED_EVAL_INTERPRET = False
 
 
 def test_edge_neighbor_max_with_duplicate_points():

@@ -53,6 +53,10 @@ def main():
     B = cfg["batch_size"]
     ks = jax.random.split(jax.random.PRNGKey(1), 2)
 
+    # this tool ablates the PER-STAGE fused path — its monkeypatches are
+    # bypassed by the one-launch megakernel branch, so force it off
+    dg._ONE_LAUNCH = False
+
     orig_enm = ep.edge_neighbor_max
     orig_stage = dg._fused_edge_stage
     orig_mlp = dg.apply_mlp
