@@ -127,7 +127,6 @@ def cmd_evaluate(args):
         # f32 parity path (budget +-0.01)
         model = model.with_options(compute_dtype="bfloat16",
                                    remat=False, fused_layers=True)
-        params = jax.tree_util.tree_map(lambda a: a, params)
 
     class _EvalBatches:
         def __init__(self, ds, bs):

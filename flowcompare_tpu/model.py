@@ -267,11 +267,17 @@ class FlowCompareModel:
         if kind == "idenity":
             return extract_0, state
         if kind in ("DGCNNembedder", "DGCNNembedderGlobal"):
+            # fused also when TRAINING in f32: on the axon TPU backend the
+            # gather formulation's chained backward is silently miscompiled
+            # (CLAUDE.md), so every TPU training run must go through the
+            # scatter-free kernel path — apply_dgcnn itself falls back to
+            # gather on non-TPU backends where autodiff is trustworthy.
             out, new_emb_state = apply_dgcnn(
                 params["embedder"], state["embedder"], extract_0,
                 n_neighbors=c["n_neighbors"], training=training,
                 global_pool=self.is_global, dtype=self._dt,
-                fused=self._dt is not None and c.get("fused_encoder", True))
+                fused=(self._dt is not None or training)
+                and c.get("fused_encoder", True))
         else:
             out, new_emb_state = apply_pointnet2_paconv(
                 params["embedder"], state["embedder"], extract_0,

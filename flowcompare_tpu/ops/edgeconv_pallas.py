@@ -132,7 +132,12 @@ def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
         sel_rank = 1
     elif _PACKED_PREFIX:
         # one packed chain (see flag comment): low 12 bits count strict,
-        # high bits count ties; both inclusive
+        # high bits count ties; both inclusive. Field-width safety: the
+        # strict prefix is < k by DEFINITION of the k-th-smallest threshold
+        # (at most k-1 entries sort strictly below it), so the low field
+        # never overflows for k <= 4096 regardless of n; the ties prefix can
+        # reach n, so the high field needs n < 2^19 to stay inside int32.
+        assert xf.shape[0] < (1 << 19) and k <= 4096
         p = prefix(strict.astype(jnp.int32)
                    + jax.lax.shift_left(ties.astype(jnp.int32), 12))
         sp = jax.lax.bitwise_and(p, 4095)
@@ -247,6 +252,9 @@ def edge_neighbor_max(x: jnp.ndarray, u: jnp.ndarray, k: int,
     """
     b, n, cq = x.shape
     cout = u.shape[-1]
+    # the far-away pad rows rely on k < n; k >= n would pull pads into the
+    # neighbour set (the gather path handles that case — use it instead)
+    assert k < n, f"edge_neighbor_max needs k < n (got k={k}, n={n})"
     npad = -(-n // _ROW_BLOCK) * _ROW_BLOCK
     if npad != n:
         # far-away pad points: never in any top-k (k < n)

@@ -42,55 +42,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROW_BLOCK = 256
 _ROW_SUB = 32
-_F32_INF_BITS = 0x7F800000
 
 
 def _selection_rank(xb, xf, k: int):
     """(R, Npad) selection rank in 1..k over the exact kNN set of each row
-    of xb within xf; 0 = not selected. Exact k-th smallest via binary search
-    on the f32 bit pattern, index-ordered tie-breaking (matches lax.top_k /
-    torch.topk). Same math as ops/edgeconv_pallas._kernel."""
-    r = xb.shape[0]
-    cross = jnp.dot(xb, xf.T, preferred_element_type=jnp.float32)
-    nb = jnp.sum(xb.astype(jnp.float32) ** 2, axis=1, keepdims=True)
-    nf = jnp.sum(xf.astype(jnp.float32) ** 2, axis=1)[None, :]
-    d = jnp.maximum(nb - 2.0 * cross + nf, 0.0)
-    d_int = pltpu.bitcast(d, jnp.int32)
-
-    def bs_body(_, carry):
-        lo, hi = carry
-        mid = jax.lax.shift_right_logical(lo + hi, 1)
-        cnt = jnp.sum((d_int <= mid).astype(jnp.int32), axis=1, keepdims=True)
-        ge = cnt >= k
-        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
-
-    lo0 = jnp.zeros((r, 1), jnp.int32)
-    hi0 = jnp.full((r, 1), _F32_INF_BITS, jnp.int32)
-    _, thresh = jax.lax.fori_loop(0, 31, bs_body, (lo0, hi0))
-
-    strict = d_int < thresh
-    ties = d_int == thresh
-    cnt_strict = jnp.sum(strict.astype(jnp.int32), axis=1, keepdims=True)
-    rank = ties.astype(jnp.int32)
-    width = rank.shape[1]
-    shift = 1
-    while shift < width:
-        shifted = jnp.concatenate(
-            [jnp.zeros((rank.shape[0], shift), jnp.int32), rank[:, :-shift]],
-            axis=1)
-        rank = rank + shifted
-        shift *= 2
-    mask = strict | (ties & (rank <= (k - cnt_strict)))
-
-    sel_rank = mask.astype(jnp.int32)
-    shift = 1
-    while shift < width:
-        shifted = jnp.concatenate(
-            [jnp.zeros((sel_rank.shape[0], shift), jnp.int32),
-             sel_rank[:, :-shift]], axis=1)
-        sel_rank = sel_rank + shifted
-        shift *= 2
-    return jnp.where(mask, sel_rank, 0)
+    of xb within xf; 0 = not selected. Delegates to the SHARED machinery in
+    ops/edgeconv_pallas (_knn_select_ranks, incl. its packed-prefix
+    optimization) so train- and eval-time neighbour selection can never
+    diverge; int32 here because the ranks are a saved residual the backward
+    kernel reloads from HBM."""
+    from .edgeconv_pallas import _knn_select_ranks
+    return _knn_select_ranks(xb, xf, None, k=k).astype(jnp.int32)
 
 
 # ------------------------------------------------------------------ forward

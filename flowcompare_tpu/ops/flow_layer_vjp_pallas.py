@@ -689,18 +689,25 @@ def _bwd_kernel_impl(*refs, n_pre, n_cpl, has_attn, has_extra, split,
         def rcat(a, b):
             return b if a is None else jnp.concatenate([a, b], 0)
 
+        # attention conditioner: ctx (Nc, E) is SHARED across rows — pass it
+        # whole and SUM per-chunk cotangents. Global conditioner: ctx is the
+        # row-aligned broadcast embedding (QB, E) — slice it like x/extra
+        # and CONCAT the chunk cotangents.
+        ctx_rowwise = not has_attn
         for c in range(n_chunks):
             rows = slice(c * step, (c + 1) * step)
+            ctx_in = ctx[rows] if ctx_rowwise else ctx
             if has_extra:
-                _, vjp = jax.vjp(fwd, wk, x[rows], ctx, extra[rows])
+                _, vjp = jax.vjp(fwd, wk, x[rows], ctx_in, extra[rows])
                 dwk_c, dx_c, dctx_c, dextra_c = vjp((dz[rows], dldj[rows]))
                 dextra_k = rcat(dextra_k, dextra_c)
             else:
                 _, vjp = jax.vjp(lambda w, xx, cc: fwd(w, xx, cc, None),
-                                 wk, x[rows], ctx)
+                                 wk, x[rows], ctx_in)
                 dwk_c, dx_c, dctx_c = vjp((dz[rows], dldj[rows]))
             dwk = wsum(dwk, dwk_c)
-            dctx_k = wsum(dctx_k, dctx_c)
+            dctx_k = (rcat(dctx_k, dctx_c) if ctx_rowwise
+                      else wsum(dctx_k, dctx_c))
             dx = rcat(dx, dx_c)
 
         dflat = {
