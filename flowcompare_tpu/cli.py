@@ -143,9 +143,13 @@ def cmd_evaluate(args):
     ds = _dataset(args, config, "test", include_all=True)
     batches = ds if args.data == "synthetic" else _EvalBatches(
         ds, config["batch_size"])
+    mesh = None
+    if getattr(args, "data_parallel", False) and jax.device_count() > 1:
+        from .train import make_mesh
+        mesh = make_mesh(n_data=jax.device_count(), n_model=1)
     nats, change_means = evaluate_on_test(
         model, params, state, batches, multiple=args.multiple,
-        generate_samples=args.generate_samples)
+        generate_samples=args.generate_samples, mesh=mesh)
     print(json.dumps({"nats": nats,
                       "mean_changed_fraction": float(sum(change_means) /
                                                      max(len(change_means), 1)),
@@ -260,6 +264,8 @@ def main(argv=None):
     e.add_argument("--fast", action="store_true",
                    help="bf16 + fused kernels (nats drift ~0.002)")
     e.add_argument("--generate-samples", action="store_true")
+    e.add_argument("--data-parallel", action="store_true",
+                   help="shard eval batches over all devices (SPMD)")
     add_data_args(e)
     e.set_defaults(fn=cmd_evaluate)
 

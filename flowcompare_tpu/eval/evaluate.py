@@ -52,7 +52,8 @@ def evaluate_on_test(model: FlowCompareModel, params, state,
                      compute_reverse: bool = False,
                      generate_samples: bool = False,
                      samples_dir: str = "save/examples/test_set_changes",
-                     n_gen_points: int = 4000):
+                     n_gen_points: int = 4000,
+                     mesh=None):
     """Nats + per-voxel changed-fraction over an include_all dataset.
 
     dataset yields the 11-tensor eval items (data/synthetic.py get_item_all
@@ -61,10 +62,22 @@ def evaluate_on_test(model: FlowCompareModel, params, state,
     per-batch artifact dumps (test_flow.py:183-226): a generated cloud
     conditioned on t0 plus both original voxels, written under samples_dir
     (named by the batch's changed fraction) via viz.save_cloud.
+
+    mesh: optional jax.sharding.Mesh for data-parallel SPMD eval — params
+    and state are replicated, every item tensor is sharded along its batch
+    axis over the mesh's 'data' axis, and the jitted per-item dispatch
+    compiles to an SPMD program (the stacked n_dir*B batch axis keeps the
+    'data' sharding through the concatenate). The per-item batch size must
+    be divisible by the 'data' axis size.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     c = model.config
     n_dir = 4 if compute_reverse else 2
+    if mesh is not None:
+        from ..train.mesh import replicated, shard_batch
+        rep = replicated(mesh)
+        params = jax.device_put(params, rep)
+        state = jax.device_put(state, rep)
 
     @jax.jit
     def eval_directions(params, state, contexts, targets, extra, idx):
@@ -100,9 +113,11 @@ def evaluate_on_test(model: FlowCompareModel, params, state,
     change_mean_list: list[float] = []
     reverse_change_list: list[float] = []
     for batch_ind, item in enumerate(dataset):
+        item = [jnp.asarray(t) if t is not None else None for t in item]
+        if mesh is not None:
+            item = shard_batch(item, mesh)
         (v0l, v1s, extra, v1l_self, v1s_self, v_opp_small, v_opp_large,
-         v0s_self, v0l_self, _v0s_orig, _v1s_orig) = [
-            jnp.asarray(t) if t is not None else None for t in item]
+         v0s_self, v0l_self, _v0s_orig, _v1s_orig) = item
         b = v1s.shape[0]
         contexts = [v0l, v0l_self] + ([v_opp_large, v1l_self]
                                       if compute_reverse else [])

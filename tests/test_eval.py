@@ -52,6 +52,29 @@ def test_evaluate_on_test_runs():
     assert all(0.0 <= m <= 1.0 for m in change_means)
 
 
+def test_evaluate_on_test_sharded_matches_unsharded():
+    """SPMD data-parallel eval over the fake 8-device mesh reproduces the
+    single-device numbers (same jitted program, batch sharded over 'data')."""
+    from flowcompare_tpu.train.mesh import make_mesh
+
+    cfg = tiny_config()
+    model = FlowCompareModel(cfg)
+    params, state = model.init_params(jax.random.PRNGKey(0))
+
+    def make_ds():
+        return SyntheticVoxelDataset(
+            n_items=2, batch_size=4, sample_size=cfg["sample_size"],
+            n_samples_context=cfg["n_samples_context"], with_extra=True,
+            mode="test", include_all=True)
+
+    nats_ref, means_ref = evaluate_on_test(model, params, state, make_ds())
+    mesh = make_mesh(n_data=4, n_model=2)
+    nats_sh, means_sh = evaluate_on_test(model, params, state, make_ds(),
+                                         mesh=mesh)
+    np.testing.assert_allclose(nats_sh, nats_ref, rtol=1e-5)
+    np.testing.assert_allclose(means_sh, means_ref, rtol=1e-5)
+
+
 def test_evaluate_on_test_reverse_direction():
     cfg = tiny_config()
     model = FlowCompareModel(cfg)
