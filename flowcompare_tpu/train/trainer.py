@@ -19,6 +19,7 @@ Reference behaviours kept:
 
 from __future__ import annotations
 
+import itertools
 import math
 import os
 import time
@@ -178,7 +179,13 @@ def train(model: FlowCompareModel, dataset: Iterable, *,
     loss_running_avg = 0.0
     global_step = 0
     done = False
-    for epoch in range(c["n_epochs"]):
+    # max_steps, when given, GOVERNS the run length: keep cycling epochs
+    # (fresh shuffle each — the dataset's epoch counter feeds the permutation)
+    # until the step budget is spent, instead of silently stopping at
+    # n_epochs * batches_per_epoch like the config-driven schedule.
+    epochs = (range(c["n_epochs"]) if max_steps is None
+              else itertools.count())
+    for epoch in epochs:
         if done:
             break
         for batch_ind, batch in enumerate(dataset):

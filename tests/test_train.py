@@ -64,6 +64,23 @@ def test_train_loop_decreases_loss(tmp_path):
     assert np.mean(losses[-6:]) < np.mean(losses[:6])
 
 
+def test_max_steps_outlives_n_epochs(tmp_path):
+    # max_steps governs the run length: with n_epochs=1 (2 batches) and
+    # max_steps=7, the loop must keep cycling fresh epochs until the step
+    # budget is spent instead of stopping at n_epochs * batches_per_epoch.
+    cfg = tiny_config()
+    cfg["n_epochs"] = 1
+    cfg["batches_per_save"] = 1000
+    cfg["make_samples"] = False
+    model = FlowCompareModel(cfg)
+    train(model, _dataset(cfg), key=jax.random.PRNGKey(0),
+          save_dir=str(tmp_path), max_steps=7)
+    import json
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert len(lines) == 7
+    assert lines[-1]["epoch"] == 3  # 2 batches/epoch -> step 6 is epoch 3
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_config()
     model = FlowCompareModel(cfg)
