@@ -104,6 +104,8 @@ def cmd_train(args):
     config = load_config(args.config)
     if args.bf16:
         config["compute_dtype"] = "bfloat16"
+    if getattr(args, "batch_size", None):
+        config["batch_size"] = args.batch_size
     model = FlowCompareModel(config)
     ds = PrefetchedDataset(_dataset(args, config, "train"))
     writer = MultiWriter(JsonlWriter(f"{args.save_dir}/metrics.jsonl"),
@@ -244,6 +246,8 @@ def main(argv=None):
     t.add_argument("--steps", type=int, default=None)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--bf16", action="store_true")
+    t.add_argument("--batch-size", type=int, default=None,
+                   help="override the config's batch_size")
     t.add_argument("--resume", default=None)
     t.add_argument("--data-parallel", action="store_true")
     add_data_args(t, packed_ok=True)

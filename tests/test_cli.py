@@ -61,6 +61,20 @@ def test_cli_train_evaluate_sample_roundtrip(tmp_path):
     assert os.path.exists(out + ".npz")
 
 
+def test_cli_train_batch_size_override(tmp_path):
+    # --batch-size overrides the config: 8 items / batch 4 -> 2 steps/epoch,
+    # so 2 steps stay inside epoch 0 (tiny config default batch is 2).
+    cfg_path = _write_tiny_yaml(tmp_path / "tiny.yaml")
+    save_dir = str(tmp_path / "run_bs")
+    main(["train", "--config", cfg_path, "--save-dir", save_dir,
+          "--run-name", "t", "--steps", "2", "--n-items", "8",
+          "--batch-size", "4"])
+    lines = [json.loads(l)
+             for l in open(os.path.join(save_dir, "metrics.jsonl"))]
+    assert len(lines) == 2
+    assert lines[-1]["epoch"] == 0
+
+
 def test_cli_pack_then_train_on_packed(tmp_path):
     """`flowcompare pack` -> `flowcompare train --data packed`: the native
     mmap gather loader is the actual training input path (VERDICT item 7;

@@ -20,7 +20,7 @@ import gc
 import numpy as np
 import pytest
 
-torch = pytest.importorskip("torch")
+torch = pytest.importorskip("torch")  # noqa: E402  (oracle needs torch)
 
 import jax
 import jax.numpy as jnp
@@ -139,6 +139,111 @@ def test_fullscale_dulcet_universe_parity(tmp_path_factory):
                             * LOG2E / cfg["input_dim"])
         print(f"full-scale parity: mean |dnats| = {delta_nats_mean:.2e}, "
               f"worst per-point = {delta_nats_worst:.2e}")
+        assert delta_nats_mean < 0.01, delta_nats_mean
+        assert delta_nats_worst < 0.05, delta_nats_worst
+    finally:
+        teardown_reference_oracle(str(root))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("preset", ["helpful-sponge", "good-surf",
+                                    "summer-terrain", "swept-energy"])
+def test_fullscale_other_presets_parity(tmp_path_factory, preset):
+    """Full-scale parity for the remaining 4 pretrained configs — the
+    north-star definition is nats parity within ±0.01 on ALL FIVE presets
+    (/root/reference/README.md:47-57), not just dulcet-universe. Covers the
+    full-scale embedder (DGCNN global / PAConv PointNet++ / DGCNN per-point)
+    and the full-depth 115-layer deterministic core, random weights, CPU,
+    f32; the augmenter sub-check lives in the dulcet test above."""
+    cfg = get_config(preset)
+    root = tmp_path_factory.mktemp(f"refshim_fs_{preset}")
+    teardown_reference_oracle("")
+    mi = build_reference_oracle(
+        root, with_paconv=(cfg["input_embedder"] == "PAConv"))
+    try:
+        torch.manual_seed(7)
+        models_dict = mi.initialize_flow(cfg, device="cpu", mode="test")
+        flow_t, emb_t = models_dict["flow"], models_dict["input_embedder"]
+        save_np = {
+            "flow": {k: v.detach().numpy()
+                     for k, v in flow_t.state_dict().items()},
+            "input_embedder": {k: v.detach().numpy()
+                               for k, v in emb_t.state_dict().items()},
+        }
+        params, state = convert_checkpoint(save_np, cfg)
+        del save_np
+        gc.collect()
+        model = FlowCompareModel(cfg, remat=False)
+
+        rng = np.random.default_rng(70)
+        B, N = 2, cfg["sample_size"]
+        E = cfg["input_embedding_dim"]
+        x0 = rng.normal(size=(B, cfg["n_samples_context"], 6)
+                        ).astype(np.float32)
+        z = rng.normal(size=(B, N, cfg["latent_dim"])).astype(np.float32)
+        has_extra = cfg["using_extra_context"]
+        is_global = cfg["input_embedder"] == "DGCNNembedderGlobal"
+
+        # ---- embedder at full scale (1250 context points)
+        with torch.no_grad():
+            ref_emb = emb_t(torch.from_numpy(x0)).numpy()
+        our_emb, _ = model.embed(params, state, jnp.asarray(x0),
+                                 training=False)
+        np.testing.assert_allclose(np.asarray(our_emb), ref_emb,
+                                   atol=2e-3, rtol=5e-3)
+
+        # ---- the 115-layer deterministic core: output + log_prob.
+        # Random context decouples the core check from the embedder (same
+        # policy as the dulcet test); global conditioners see the embedding
+        # broadcast per point, exactly how model.inner_loop feeds them.
+        if is_global:
+            ctx = np.repeat(rng.normal(size=(B, 1, E)).astype(np.float32),
+                            N, axis=1)
+        else:
+            ctx = rng.normal(size=(B, N, E)).astype(np.float32)
+        extra = (rng.normal(size=(B, N, 1)).astype(np.float32)
+                 if has_extra else None)
+
+        with torch.no_grad():
+            zt = torch.from_numpy(z)
+            ldj_t = torch.zeros(zt.shape[:-1])
+            ctx_t = torch.from_numpy(ctx)
+            extra_t = torch.from_numpy(extra) if has_extra else None
+            for tr in flow_t.transforms[1:]:
+                zt, ldj = tr(zt, context=ctx_t, extra_context=extra_t)
+                ldj_t = ldj_t + ldj
+            ref_lp = (ldj_t + flow_t.base_dist.log_prob(zt)).numpy()
+            ref_out = zt.numpy()
+        del flow_t, emb_t, models_dict
+        gc.collect()
+
+        h = jnp.asarray(z)
+        acc = jnp.zeros(h.shape[:-1], jnp.float32)
+        ctx_j = jnp.asarray(ctx)
+        extra_j = jnp.asarray(extra) if has_extra else None
+        prepared = model._prepare_layers(params["layers"])
+
+        @jax.jit
+        def core(prepared, final_block, h, acc):
+            def body(carry, lp):
+                h, acc = carry
+                h, l = model._layer_fwd(lp, h, ctx_j, extra_j)
+                return (h, acc + l), None
+
+            (h, acc), _ = jax.lax.scan(body, (h, acc), prepared)
+            h, l = model._block_fwd(final_block, h, ctx_j, extra_j)
+            return h, acc + l + standard_normal_logprob(h)
+
+        our_out, our_lp = core(prepared, params["final_block"], h, acc)
+        our_out, our_lp = np.asarray(our_out), np.asarray(our_lp)
+
+        np.testing.assert_allclose(our_out, ref_out, atol=5e-3, rtol=1e-2)
+        delta_nats_mean = (abs(float(np.mean(our_lp)) - float(np.mean(ref_lp)))
+                           * LOG2E / cfg["input_dim"])
+        delta_nats_worst = (float(np.max(np.abs(our_lp - ref_lp)))
+                            * LOG2E / cfg["input_dim"])
+        print(f"{preset} full-scale parity: mean |dnats| = "
+              f"{delta_nats_mean:.2e}, worst per-point = {delta_nats_worst:.2e}")
         assert delta_nats_mean < 0.01, delta_nats_mean
         assert delta_nats_worst < 0.05, delta_nats_worst
     finally:
