@@ -117,6 +117,7 @@ def cmd_train(args):
     train(model, ds, key=jax.random.PRNGKey(args.seed), writer=writer,
           save_dir=args.save_dir, run_name=args.run_name, mesh=mesh,
           max_steps=args.steps,
+          steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
           resume_from=args.resume or None)
 
 
@@ -248,6 +249,9 @@ def main(argv=None):
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--batch-size", type=int, default=None,
                    help="override the config's batch_size")
+    t.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="run K train steps per device dispatch (amortizes "
+                        "per-call overhead on remote backends)")
     t.add_argument("--resume", default=None)
     t.add_argument("--data-parallel", action="store_true")
     add_data_args(t, packed_ok=True)

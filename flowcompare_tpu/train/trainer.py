@@ -64,9 +64,7 @@ def init_train_state(model: FlowCompareModel, key: jax.Array) -> TrainState:
     )
 
 
-def make_train_step(model: FlowCompareModel, mesh=None):
-    """Build the jitted train step. With a mesh, the batch is expected
-    sharded over 'data' and params replicated/model-sharded (train.mesh)."""
+def _build_step_fn(model: FlowCompareModel):
     c = model.config
     tx = make_optimizer(c)
 
@@ -91,7 +89,37 @@ def make_train_step(model: FlowCompareModel, mesh=None):
         metrics = {"loss": loss, "nats": nats, "lr": state.plateau.lr}
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
+
+
+def make_train_step(model: FlowCompareModel, mesh=None):
+    """Build the jitted train step. With a mesh, the batch is expected
+    sharded over 'data' and params replicated/model-sharded (train.mesh)."""
+    return jax.jit(_build_step_fn(model), donate_argnums=(0,))
+
+
+def make_train_step_multi(model: FlowCompareModel):
+    """K train steps in ONE compiled program (lax.scan over stacked batches).
+
+    Through the hosted-TPU tunnel each dispatch costs ~25 ms regardless of
+    work (CLAUDE.md); eval amortizes it with chunked dispatch and this is
+    the training counterpart. Semantics are identical to K sequential
+    step_fn calls — the plateau scheduler already steps per batch INSIDE
+    the graph, and the host loop flushes chunks at checkpoint/sample
+    boundaries so the reference's host-side quirks keep their exact timing.
+    Batches arrive stacked on a leading step axis: (K, B, ...)."""
+    step_fn = _build_step_fn(model)
+
+    def multi_fn(state: TrainState, b0, b1, extra):
+        xs = (b0, b1) if extra is None else (b0, b1, extra)
+
+        def body(st, x):
+            batch = (x[0], x[1], x[2] if len(x) == 3 else None)
+            return step_fn(st, batch)
+
+        return jax.lax.scan(body, state, xs)
+
+    return jax.jit(multi_fn, donate_argnums=(0,))
 
 
 def make_eval_step(model: FlowCompareModel):
@@ -137,11 +165,18 @@ def train(model: FlowCompareModel, dataset: Iterable, *,
           mesh=None,
           max_steps: Optional[int] = None,
           resume_from: Optional[str] = None,
+          steps_per_dispatch: int = 1,
           detect_anomaly: bool = False) -> TrainState:
     """Fit loop over an iterable of (extract_0, extract_1, extra|None) batches.
 
     `dataset` is any re-iterable of numpy/jax batches (see data/loader.py);
     epochs follow config['n_epochs'] unless max_steps caps it.
+
+    steps_per_dispatch > 1 runs K steps per device dispatch (lax.scan over
+    stacked batches) to amortize the ~25 ms tunnel cost per call; chunks
+    flush at checkpoint/sample boundaries so observable behaviour (save
+    timing, running-average reset, sample cadence, per-step logs) is
+    IDENTICAL to the K=1 loop.
     """
     c = model.config
     if detect_anomaly:
@@ -179,6 +214,10 @@ def train(model: FlowCompareModel, dataset: Iterable, *,
     loss_running_avg = 0.0
     global_step = 0
     done = False
+    spd = max(1, int(steps_per_dispatch))
+    multi_fn = make_train_step_multi(model) if spd > 1 else None
+    bps = c["batches_per_save"]
+    bpsample = c["batches_per_sample"] if c.get("make_samples") else None
     # max_steps, when given, GOVERNS the run length: keep cycling epochs
     # (fresh shuffle each — the dataset's epoch counter feeds the permutation)
     # until the step budget is spent, instead of silently stopping at
@@ -188,23 +227,52 @@ def train(model: FlowCompareModel, dataset: Iterable, *,
     for epoch in epochs:
         if done:
             break
-        for batch_ind, batch in enumerate(dataset):
+        it = iter(dataset)
+        batch_ind = 0
+        while not done:
+            # chunk [i..e]: host-side actions (checkpoint after step j%bps==0,
+            # sample after step (j+1)%bpsample==0) need post-step-j state, so
+            # a boundary may only be the chunk's LAST index.
+            i = batch_ind
+            limit = spd
+            if max_steps is not None:
+                limit = min(limit, max_steps - global_step)
+            j_save = bps if i == 0 else ((i + bps - 1) // bps) * bps
+            limit = min(limit, j_save - i + 1)
+            if bpsample:
+                j_sample = -(-(i + 1) // bpsample) * bpsample - 1
+                limit = min(limit, j_sample - i + 1)
+            chunk = list(itertools.islice(it, max(1, limit)))
+            if not chunk:
+                break  # epoch exhausted
             t0 = time.perf_counter()
-            state, metrics = step_fn(state, _to_device(batch, mesh))
-            loss_item = float(metrics["loss"])
-            if not math.isfinite(loss_item):
-                raise FloatingPointError(f"non-finite loss at step {global_step}")
-            dt = time.perf_counter() - t0
-            loss_running_avg = (loss_running_avg * batch_ind + loss_item) / (batch_ind + 1)
-            writer.log({**{k: float(v) for k, v in metrics.items()},
-                        "time_batch": dt, "epoch": epoch}, step=global_step)
+            if len(chunk) == 1:
+                state, metrics = step_fn(state, _to_device(chunk[0], mesh))
+                rows = [{k: float(v) for k, v in metrics.items()}]
+            else:
+                b0, b1, extra = _stack_batches(chunk, mesh)
+                state, metrics = multi_fn(state, b0, b1, extra)
+                marr = {k: np.asarray(v) for k, v in metrics.items()}
+                rows = [{k: float(v[s]) for k, v in marr.items()}
+                        for s in range(len(chunk))]
+            dt = (time.perf_counter() - t0) / len(chunk)
+            for s, row in enumerate(rows):
+                if not math.isfinite(row["loss"]):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {global_step + s}")
+                loss_running_avg = ((loss_running_avg * (i + s) + row["loss"])
+                                    / (i + s + 1))
+                writer.log({**row, "time_batch": dt, "epoch": epoch},
+                           step=global_step + s)
 
-            if batch_ind > 0 and batch_ind % c["batches_per_save"] == 0:
+            e = i + len(chunk) - 1
+            batch = chunk[-1]
+            if e > 0 and e % bps == 0:
                 if loss_running_avg < best_so_far:
                     if last_save_path is not None:
                         os.remove(last_save_path)
                     path = os.path.join(
-                        save_dir, f"{run_name}_e{epoch}_b{batch_ind}_model_dict.msgpack")
+                        save_dir, f"{run_name}_e{epoch}_b{e}_model_dict.msgpack")
                     ckpt.save_checkpoint(
                         path, config=c, params=state.params, state=state.bn_state,
                         opt_state=state.opt_state, plateau=state.plateau,
@@ -213,20 +281,22 @@ def train(model: FlowCompareModel, dataset: Iterable, *,
                     best_so_far = min(loss_running_avg, best_so_far)
                     loss_running_avg = 0.0
 
-            if c.get("make_samples") and (batch_ind + 1) % c["batches_per_sample"] == 0:
+            if bpsample and (e + 1) % bpsample == 0:
                 extract_0 = jnp.asarray(batch[0][:1])
                 extra = (jnp.asarray(batch[2][:1])
                          if (batch[2] is not None and c["using_extra_context"])
                          else None)
                 pts = sample_fn(state.params, state.bn_state, extract_0, extra,
-                                jax.random.fold_in(state.rng, batch_ind))
-                np.savez(os.path.join(save_dir, f"sample_{run_name}_{global_step}.npz"),
-                         cond=np.asarray(extract_0[0]), gen=np.asarray(pts[0]))
+                                jax.random.fold_in(state.rng, e))
+                np.savez(os.path.join(
+                    save_dir,
+                    f"sample_{run_name}_{global_step + len(chunk) - 1}.npz"),
+                    cond=np.asarray(extract_0[0]), gen=np.asarray(pts[0]))
 
-            global_step += 1
+            global_step += len(chunk)
+            batch_ind = e + 1
             if max_steps is not None and global_step >= max_steps:
                 done = True
-                break
     return state
 
 
@@ -236,3 +306,19 @@ def _to_device(batch, mesh):
         from .mesh import shard_batch
         batch = shard_batch(batch, mesh)
     return batch
+
+
+def _stack_batches(batches, mesh):
+    """Stack K host batches on a leading step axis for make_train_step_multi;
+    under a mesh the per-item batch axis (axis 1) shards over 'data'."""
+    b0 = np.stack([np.asarray(b[0]) for b in batches])
+    b1 = np.stack([np.asarray(b[1]) for b in batches])
+    extra = (np.stack([np.asarray(b[2]) for b in batches])
+             if batches[0][2] is not None else None)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+        return tuple(jax.device_put(x, sh) if x is not None else None
+                     for x in (b0, b1, extra))
+    return tuple(jnp.asarray(x) if x is not None else None
+                 for x in (b0, b1, extra))

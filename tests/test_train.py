@@ -81,6 +81,36 @@ def test_max_steps_outlives_n_epochs(tmp_path):
     assert lines[-1]["epoch"] == 3  # 2 batches/epoch -> step 6 is epoch 3
 
 
+def test_steps_per_dispatch_equivalence(tmp_path):
+    # K steps per dispatch must be observably IDENTICAL to the K=1 loop:
+    # same per-step losses, same checkpoint files at the same boundaries,
+    # same sample cadence. batches_per_save=3 / batches_per_sample=5 force
+    # chunk flushes that don't divide steps_per_dispatch=4.
+    import json
+    cfg = tiny_config()
+    cfg["n_epochs"] = 3
+    cfg["batches_per_save"] = 3
+    cfg["batches_per_sample"] = 5
+    cfg["make_samples"] = True
+    runs = {}
+    for spd in (1, 4):
+        d = tmp_path / f"spd{spd}"
+        model = FlowCompareModel(cfg)
+        train(model, _dataset(cfg), key=jax.random.PRNGKey(0),
+              save_dir=str(d), max_steps=11, steps_per_dispatch=spd)
+        lines = [json.loads(l) for l in open(d / "metrics.jsonl")]
+        files = sorted(p.name for p in d.iterdir()
+                       if p.suffix in (".msgpack", ".npz"))
+        runs[spd] = (lines, files)
+    (l1, f1), (l4, f4) = runs[1], runs[4]
+    assert len(l1) == len(l4) == 11
+    assert f1 == f4                       # same ckpt/sample names+boundaries
+    for a, b in zip(l1, l4):
+        assert a["epoch"] == b["epoch"]
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(a["lr"], b["lr"], rtol=1e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_config()
     model = FlowCompareModel(cfg)

@@ -23,9 +23,21 @@ sys.path.insert(0, ROOT)
 
 def measure(mode: str, n_steps: int = 5) -> dict:
     """mode: 'kernel' (Pallas fwd+bwd megakernels), 'folded' (folded
-    lax.scan core + XLA autodiff), 'unfolded' (plain scan + autodiff)."""
+    lax.scan core + XLA autodiff), 'unfolded' (plain scan + autodiff).
+    A '_spdK' suffix (e.g. kernel_spd8) runs K steps per dispatch through
+    make_train_step_multi — the trainer's steps_per_dispatch path."""
+    import re
+
+    import jax.numpy as jnp
+
     import flowcompare_tpu as fc
-    from flowcompare_tpu.train.trainer import init_train_state, make_train_step
+    from flowcompare_tpu.train.trainer import (
+        init_train_state, make_train_step, make_train_step_multi)
+
+    spd = 1
+    m_spd = re.match(r"(.+)_spd(\d+)$", mode)
+    if m_spd:
+        mode, spd = m_spd.group(1), int(m_spd.group(2))
 
     cfg = fc.get_config("dulcet-universe")
     cfg["compute_dtype"] = "bfloat16"
@@ -55,6 +67,28 @@ def measure(mode: str, n_steps: int = 5) -> dict:
     # every recorded step (discovered 2026-08-18; a real training loop
     # overlaps its input pipeline, so device-resident batches are the
     # honest model)
+    if spd > 1:
+        mstep = make_train_step_multi(model)
+
+        def chunk(i):
+            bs = [batch(i * spd + s) for s in range(spd)]
+            return tuple(jnp.stack([b[j] for b in bs]) for j in range(3))
+
+        warm = [chunk(100 + w) for w in range(2)]
+        timed = [chunk(i) for i in range(n_steps)]
+        jax.block_until_ready((warm, timed))
+        for b in warm:
+            state, m = mstep(state, *b)
+            float(m["loss"][-1])
+        t0 = time.perf_counter()
+        for b in timed:
+            state, m = mstep(state, *b)
+            float(m["loss"][-1])
+        dt = (time.perf_counter() - t0) / (n_steps * spd)
+        return {"mode": f"{mode}_spd{spd}", "ms_per_step": round(1000 * dt, 1),
+                "points_per_sec": round(bsz * cfg["sample_size"] / dt, 1),
+                "loss_finite": bool(jax.numpy.isfinite(m["loss"][-1]))}
+
     warm = [batch(100 + w) for w in range(2)]
     timed = [batch(i) for i in range(n_steps)]
     jax.block_until_ready((warm, timed))
