@@ -46,7 +46,7 @@ def _leaky(x):
 
 
 def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
-            n_head: int, head: bool, use_value: bool):
+            n_head: int, head: bool, use_value: bool, transposed: bool):
     rb_block = _ep._ROW_BLOCK
     row_sub = _ep._ROW_SUB
     it = iter(refs)
@@ -59,6 +59,7 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
     mx_ref = next(it)                     # (npad, 256) bf16 scratch
     feats_ref = next(it)                  # (npad, 512) bf16 scratch
     rank_ref = None if use_value else next(it)   # (rb_block, npad) scratch
+    mxT_ref = next(it) if transposed else None   # (256, npad) bf16 scratch
 
     h_ref[:, :in_dim] = x_ref[0]
     ofs = 0
@@ -69,24 +70,44 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
         c = jnp.dot(hf, wdelta[...], preferred_element_type=jnp.float32)
         u_all = u.astype(jnp.bfloat16)
 
-        def rb_body(rb, _, cin=cin, cout=cout, u_all=u_all):
-            xb = h_ref[pl.ds(rb * rb_block, rb_block), :cin]
-            ranks = _ep._knn_select_ranks(
-                xb, h_ref[:, :cin], None if use_value else rank_ref, k=k)
+        if transposed:
+            # one (npad, cout) transpose per stage buys full-lane
+            # extraction matmuls (see edgeconv_pallas._TRANSPOSED_EXTRACT)
+            uT = u_all.T                                 # (cout, npad)
+            for rb in range(npad // rb_block):
+                xb = h_ref[pl.ds(rb * rb_block, rb_block), :cin]
+                ranksT = _ep._knn_select_ranks_t(xb, h_ref[:, :cin], k=k)
 
-            def store(sj, vals, rb=rb, cout=cout):
-                mx_ref[pl.ds(rb * rb_block + sj * row_sub, row_sub),
-                       :cout] = vals
+                def store_t(sj, vals, rb=rb, cout=cout):
+                    mxT_ref[:cout,
+                            pl.ds(rb * rb_block + sj * _ep._ROW_SUB_T,
+                                  _ep._ROW_SUB_T)] = vals
 
-            _ep._knn_extract_max(u_all, ranks if use_value else rank_ref,
-                                 store, k=k, r=rb_block,
-                                 from_ref=not use_value)
-            return 0
+                _ep._knn_extract_max_t(uT, ranksT, store_t, k=k,
+                                       r=rb_block)
+            mx_cout = mxT_ref[:cout, :].T                # (npad, cout)
+        else:
+            def rb_body(rb, _, cin=cin, cout=cout, u_all=u_all):
+                xb = h_ref[pl.ds(rb * rb_block, rb_block), :cin]
+                ranks = _ep._knn_select_ranks(
+                    xb, h_ref[:, :cin], None if use_value else rank_ref,
+                    k=k)
 
-        jax.lax.fori_loop(0, npad // rb_block, rb_body, 0)
+                def store(sj, vals, rb=rb, cout=cout):
+                    mx_ref[pl.ds(rb * rb_block + sj * row_sub, row_sub),
+                           :cout] = vals
+
+                _ep._knn_extract_max(u_all,
+                                     ranks if use_value else rank_ref,
+                                     store, k=k, r=rb_block,
+                                     from_ref=not use_value)
+                return 0
+
+            jax.lax.fori_loop(0, npad // rb_block, rb_body, 0)
+            mx_cout = mx_ref[:, :cout]
 
         z = (sign[...].astype(jnp.float32)
-             * mx_ref[:, :cout].astype(jnp.float32) + c)
+             * mx_cout.astype(jnp.float32) + c)
         y = _leaky(z * a[...].astype(jnp.float32) + b[...].astype(jnp.float32))
         yb = y.astype(jnp.bfloat16)
         feats_ref[:, ofs:ofs + cout] = yb
@@ -188,9 +209,11 @@ def _run(x, folds, k, head, interpret):
             add_w(bb)
     out_dim = folds["head"][-1][0].shape[-1] if head else folds["w5"].shape[-1]
 
+    transposed = _ep._TRANSPOSED_EXTRACT
     kernel = functools.partial(
         _kernel, k=k, n=n, npad=npad, dims=tuple(dims), in_dim=in_dim,
-        n_head=n_head, head=head, use_value=use_value)
+        n_head=n_head, head=head, use_value=use_value,
+        transposed=transposed)
 
     scratch = [
         pltpu.VMEM((npad, 256), jnp.bfloat16),   # h
@@ -201,6 +224,8 @@ def _run(x, folds, k, head, interpret):
         scratch.append(pltpu.VMEM(
             (rb_block, npad),
             jnp.bfloat16 if _ep._BF16_RANK else jnp.int32))
+    if transposed:
+        scratch.append(pltpu.VMEM((256, npad), jnp.bfloat16))   # mx^T
 
     out = pl.pallas_call(
         kernel,

@@ -77,6 +77,27 @@ _BF16_RANK = False
 # overlap sub-block i's MXU dot with i+1's VPU build. Trace-time.
 _UNROLL_EXTRACT = True
 
+# TRANSPOSED select+extract: the production extraction matmul
+# H (R_SUB*k, Npad) @ u (Npad, cout) has N = cout = 64..256 output lanes —
+# at cout=64 HALF the MXU lane tiles idle. Transposed, the same gather is
+# u^T (cout, Npad) @ H^T (Npad, k*128) with N = k*128 full lanes at every
+# stage width. The whole chain is built natively transposed, so NO big
+# in-kernel transposes are needed: d^T = xf @ xb^T (the xb^T operand is
+# 5x SMALLER than the xf^T the row-major select transposes today), the
+# binary search reduces over sublanes, the prefix chain shifts rows, and
+# the one-hot is k scalar-compare passes (rk^T == t) lane-concatenated at
+# 128-aligned offsets — no broadcast iota at all. u arrives pre-transposed
+# from XLA (staged path) or via one per-stage in-kernel transpose
+# (one-launch path); the max over k slot slices replaces the axis-1 max.
+# Same arithmetic, same tie semantics. Chip-validated 2026-08-19
+# (save/bench/ab_enm_transposed.json): BIT-EXACT per stage and through the
+# whole one-launch encoder; standalone 24.2 -> 21.9 ms/batch, in-pipeline
+# encoder 18.11 -> 15.16 ms/batch (-16%; the win concentrates in the
+# cout=64 stages where row-major extraction idles half the MXU lanes).
+# Production True. Trace-time flag for A/B (tools/ab_enm_transposed.py).
+_TRANSPOSED_EXTRACT = True
+_ROW_SUB_T = 128     # query rows per transposed extraction sub-block (lanes)
+
 
 def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
     """Exact kNN selection of `k` neighbours of each row of xb among the
@@ -157,6 +178,82 @@ def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
         rank_ref[:, :] = val
     return val
 
+def _knn_select_ranks_t(xb, xf, *, k: int):
+    """_knn_select_ranks with the whole chain built TRANSPOSED: query rows
+    on LANES, neighbour candidates on SUBLANES. Returns (Npad, R) int32 slot
+    ranks (1..k on selected rows / 0 elsewhere) — the layout
+    _knn_extract_max_t consumes directly, so no rank transpose ever
+    materializes. Same distances, same binary-search threshold, same
+    index-order tie semantics (the prefix now runs down the sublane axis,
+    which IS the neighbour-index axis here)."""
+    r = xb.shape[0]
+
+    crossT = jnp.dot(xf, xb.T, preferred_element_type=jnp.float32)  # (Npad,R)
+    nb = jnp.sum(xb.astype(jnp.float32) ** 2, axis=1)[None, :]      # (1, R)
+    nf = jnp.sum(xf.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    d = jnp.maximum(nf - 2.0 * crossT + nb, 0.0)
+    d_int = pltpu.bitcast(d, jnp.int32)
+
+    def bs_body(_, carry):
+        lo, hi = carry
+        mid = jax.lax.shift_right_logical(lo + hi, 1)
+        cnt = jnp.sum((d_int <= mid).astype(jnp.int32), axis=0, keepdims=True)
+        ge = cnt >= k
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo0 = jnp.zeros((1, r), jnp.int32)
+    hi0 = jnp.full((1, r), _F32_INF_BITS, jnp.int32)
+    _, thresh = jax.lax.fori_loop(0, 31, bs_body, (lo0, hi0))
+
+    strict = d_int < thresh
+    ties = d_int == thresh
+
+    def prefix_rows(v):
+        """Inclusive prefix sum down the SUBLANE (neighbour-index) axis."""
+        height = v.shape[0]
+        shift = 1
+        while shift < height:
+            shifted = jnp.concatenate(
+                [jnp.zeros((shift, v.shape[1]), v.dtype), v[:-shift]],
+                axis=0)
+            v = v + shifted
+            shift *= 2
+        return v
+
+    # packed chain, same field-width argument as _knn_select_ranks
+    assert xf.shape[0] < (1 << 19) and k <= 4096
+    p = prefix_rows(strict.astype(jnp.int32)
+                    + jax.lax.shift_left(ties.astype(jnp.int32), 12))
+    sp = jax.lax.bitwise_and(p, 4095)
+    tp = jax.lax.shift_right_logical(p, 12)
+    m = k - sp[-1:, :]                       # ties to admit, 1..k
+    mask = strict | (ties & (tp <= m))
+    sel_rank = sp + jnp.minimum(tp, m)
+    return jnp.where(mask, sel_rank, 0)      # (Npad, R) int32
+
+
+def _knn_extract_max_t(uT, ranksT, store, *, k: int, r: int):
+    """Transposed one-hot MXU extraction: per sub-block of _ROW_SUB_T query
+    rows, H^T[:, t*RS + q] = [rank^T[:, q] == t+1] is k scalar-compare
+    passes lane-concatenated at 128-aligned offsets, and
+    u^T (cout, Npad) @ H^T (Npad, k*RS) gathers every slot at FULL output
+    lane utilization (N = k*RS vs the row-major form's N = cout). The max
+    over k is a chain of aligned (cout, RS) lane-slice maxes.
+    `store(si, (cout, RS) bf16)` writes each transposed max block."""
+    n_sub = r // _ROW_SUB_T
+    for si in range(n_sub):
+        rk = ranksT[:, si * _ROW_SUB_T:(si + 1) * _ROW_SUB_T]
+        h = jnp.concatenate(
+            [(rk == t).astype(jnp.bfloat16) for t in range(1, k + 1)],
+            axis=1)                                    # (Npad, k*RS)
+        sel = jnp.dot(uT, h, preferred_element_type=jnp.float32)
+        mx = sel[:, :_ROW_SUB_T]
+        for t in range(1, k):
+            mx = jnp.maximum(
+                mx, sel[:, t * _ROW_SUB_T:(t + 1) * _ROW_SUB_T])
+        store(si, mx.astype(jnp.bfloat16))
+
+
 def _knn_extract_max(u_all, ranks, store, *, k: int, r: int,
                      from_ref: bool = True):
     """One-hot MXU extraction of the per-row kNN max of u_all.
@@ -220,6 +317,21 @@ def _use_value_ranks() -> bool:
     return _UNROLL_EXTRACT and _ABLATE != "noextract"
 
 
+def _kernel_t(xblk_ref, xfull_ref, ufullT_ref, outmaxT_ref, *, k: int):
+    """Transposed-extraction variant of _kernel: u arrives pre-transposed
+    (1, cout, Npad) and the max is written transposed (1, cout, R) — the
+    caller swaps axes outside the kernel (an XLA relayout that fuses with
+    the producing/consuming matmuls)."""
+    xb = xblk_ref[0]          # (R, Cq)
+    xf = xfull_ref[0]         # (Npad, Cq)
+    ranksT = _knn_select_ranks_t(xb, xf, k=k)
+
+    def store(si, vals):
+        outmaxT_ref[0, :, pl.ds(si * _ROW_SUB_T, _ROW_SUB_T)] = vals
+
+    _knn_extract_max_t(ufullT_ref[0], ranksT, store, k=k, r=xb.shape[0])
+
+
 def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, *maybe_rank,
             k: int):
     xb = xblk_ref[0]          # (R, Cq)
@@ -264,6 +376,27 @@ def edge_neighbor_max(x: jnp.ndarray, u: jnp.ndarray, k: int,
     u = u.astype(jnp.bfloat16)
 
     grid = (b, npad // _ROW_BLOCK)
+    if _TRANSPOSED_EXTRACT:
+        mxT = pl.pallas_call(
+            functools.partial(_kernel_t, k=k),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, _ROW_BLOCK, cq), lambda bi, ri: (bi, ri, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, npad, cq), lambda bi, ri: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout, npad), lambda bi, ri: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, cout, _ROW_BLOCK),
+                                   lambda bi, ri: (bi, 0, ri),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, cout, npad), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(x, x, u.swapaxes(1, 2))
+        return mxT.swapaxes(1, 2)[:, :n]
     mx = pl.pallas_call(
         functools.partial(_kernel, k=k),
         grid=grid,

@@ -110,6 +110,16 @@ _FUSE_AUGMENTER = True
 # 115 inverse layers; save/bench/sample_kernel_parity.json). Trace-time.
 _FUSE_SAMPLING = True
 
+# Keep the x flow-state carry in bf16 between layer grid steps (EVAL and
+# SAMPLING only — the training forward keeps f32 carries so its dense saves
+# and the backward's recompute are unchanged). The carry round-trips HBM
+# once per (layer, item) step: (QB, LAT) f32 is ~1.2 MB each way, ~5.5
+# GB/batch across the 115x20 grid at full scale. The LU matmul already
+# rounds y to bf16 every layer, so a bf16 carry adds ONE extra rounding per
+# layer (on x2 entering the next affine) on top of the existing two. ldj
+# stays f32 always. Trace-time; A/B via tools/ab_kernel_flags.py.
+_CARRY_BF16 = False
+
 # Coupling input layer as ONE matmul on concat([x1, extra, cond]) instead of
 # the folded two-matmul sum: the contraction goes from pad(151)=256 +
 # pad(64)=128 = 384 effective lanes to pad(151+64=215)=256 — a 3.8% cut of
@@ -259,7 +269,8 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
     ldj_out = next(it)
     saves_out = next(it) if save_every is not None else None
 
-    x = x_ref[0]                                   # (QB, LAT) f32
+    x = x_ref[0].astype(jnp.float32)               # (QB, LAT) f32 (carry
+    #                                                may be bf16 — see flag)
     if saves_out is not None and save_every == 1:
         # dense saves: every layer writes its own block — unconditional
         # store. Do NOT wrap this in pl.when: a trivially-true
@@ -347,7 +358,7 @@ def _kernel(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
                          preferred_element_type=jnp.float32)
                  + lu_b[0][0])
         ldj_add = ldj_add + lu_ldj[0, 0, 0]
-        x_out[0, rows] = z
+        x_out[0, rows] = z.astype(x_out.dtype)
         ldj_out[0, rows] = ldj_ref[0, rows] + ldj_add[:, None]
 
     n_rows = x.shape[0]
@@ -531,7 +542,10 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
     grid = (n_layers, b, n // qb)
 
     bf = jnp.bfloat16
-    inputs = [x.astype(jnp.float32), ldj.astype(jnp.float32)[..., None],
+    # bf16 x-carry only on the no-saves (eval) path: the training forward's
+    # saves/backward contract stays f32 (see _CARRY_BF16)
+    x_dt = bf if (_CARRY_BF16 and save_every is None) else jnp.float32
+    inputs = [x.astype(x_dt), ldj.astype(jnp.float32)[..., None],
               context.astype(bf)]
     ctx_spec = (pl.BlockSpec((1, nc, e_dim), lambda l, bi, nb: (bi, 0, 0),
                              memory_space=pltpu.VMEM) if has_attn else
@@ -592,7 +606,7 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
         pl.BlockSpec((1, qb, 1), lambda l, bi, nb: (bi, nb, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_shape = [jax.ShapeDtypeStruct((b, n, lat), jnp.float32),
+    out_shape = [jax.ShapeDtypeStruct((b, n, lat), x_dt),
                  jax.ShapeDtypeStruct((b, n, 1), jnp.float32)]
     if save_every is not None:
         n_saves = -(-n_layers // save_every)
@@ -623,7 +637,7 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
     if save_every is not None:
         return outs[0], outs[1][..., 0], outs[2]
     out_x, out_ldj = outs
-    return out_x, out_ldj[..., 0]
+    return out_x.astype(jnp.float32), out_ldj[..., 0]
 
 
 def fold_stacks_inverse(stacks: dict, folded: dict) -> dict:
@@ -674,7 +688,7 @@ def _kernel_inverse(*refs, n_pre: int, n_cpl: int, has_extra: bool,
     lu_shift = next(it)       # (1, 1, LAT) f32 (ActNorm shift)
     x_out = next(it)
 
-    z = z_ref[0]                                   # (QB, LAT) f32
+    z = z_ref[0].astype(jnp.float32)               # (QB, LAT) f32
 
     if has_attn:
         ctx = ctx_ref[0]
@@ -724,7 +738,8 @@ def _kernel_inverse(*refs, n_pre: int, n_cpl: int, has_extra: bool,
         t = st[:, x2_size:]
         sc = (2.0 * jax.nn.sigmoid(s_raw) - 1.0) * (1.0 - eps_affine) + 1.0
         x2 = (y2 - t) / sc                           # inverted affine
-        x_out[0, rows] = jnp.concatenate([x1, x2], axis=-1)
+        x_out[0, rows] = jnp.concatenate([x1, x2], axis=-1).astype(
+            x_out.dtype)
 
     n_rows = z.shape[0]
     n_chunks = _ROW_CHUNKS if n_rows % _ROW_CHUNKS == 0 else 1
@@ -756,7 +771,8 @@ def fused_flow_layers_inverse(z: jnp.ndarray, context: jnp.ndarray,
     last = n_layers - 1
 
     bf = jnp.bfloat16
-    inputs = [z.astype(jnp.float32), context.astype(bf)]
+    x_dt = bf if _CARRY_BF16 else jnp.float32
+    inputs = [z.astype(x_dt), context.astype(bf)]
     ctx_spec = (pl.BlockSpec((1, nc, e_dim), lambda l, bi, nb: (bi, 0, 0),
                              memory_space=pltpu.VMEM) if has_attn else
                 pl.BlockSpec((1, qb, e_dim), lambda l, bi, nb: (bi, nb, 0),
@@ -813,13 +829,13 @@ def fused_flow_layers_inverse(z: jnp.ndarray, context: jnp.ndarray,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, qb, lat), lambda l, bi, nb: (bi, nb, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, lat), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n, lat), x_dt),
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
-    return out
+    return out.astype(jnp.float32)
 
 
 def fold_augmenter(aug_params: dict, *, input_dim: int, extra_dim: int) -> dict:

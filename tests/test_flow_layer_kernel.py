@@ -470,6 +470,39 @@ def test_inverse_kernel_one_layer_interpret_round_trip():
     assert float(jnp.max(jnp.abs(xr - x))) < 3e-2
 
 
+def test_carry_bf16_one_layer_interpret():
+    """_CARRY_BF16 rounds only the layer-boundary x carry: one-layer
+    interpret output must match the f32-carry kernel to bf16 rounding of
+    the OUTPUT (~0.4% relative), with ldj bit-identical (it stays f32 and
+    is computed from the pre-store f32 state). Covers forward and inverse
+    kernel plumbing (input dtype, aliasing, final f32 cast)."""
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+
+    cfg, model, params, f1, s1, x, ctx, extra = _one_layer_fixture()
+    ldj0 = jnp.zeros(x.shape[:2], jnp.float32)
+    zf, lf = flp.fused_flow_layers(x, ldj0, ctx, extra, f1, interpret=True)
+    inv1 = flp.fold_stacks_inverse(s1, f1)
+    xr_f = flp.fused_flow_layers_inverse(zf, ctx, extra, inv1,
+                                         interpret=True)
+    try:
+        flp._CARRY_BF16 = True
+        zb, lb = flp.fused_flow_layers(x, ldj0, ctx, extra, f1,
+                                       interpret=True)
+        xr_b = flp.fused_flow_layers_inverse(zf, ctx, extra, inv1,
+                                             interpret=True)
+    finally:
+        flp._CARRY_BF16 = False
+    assert zb.dtype == jnp.float32 and xr_b.dtype == jnp.float32
+    # output rounding only: |z_bf16 - z_f32| <= ulp(z) at bf16
+    err = jnp.max(jnp.abs(zb - zf) / (jnp.abs(zf) + 1e-3))
+    assert float(err) < 8e-3, float(err)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(lf),
+                               atol=2e-3, rtol=1e-5)
+    # inverse: bf16 INPUT z rounding propagates through the layer inverse
+    err_i = jnp.max(jnp.abs(xr_b - xr_f) / (jnp.abs(xr_f) + 1e-2))
+    assert float(err_i) < 3e-2, float(err_i)
+
+
 def test_augment_kernel_interpret_matches_xla():
     """The fused augmenter has NO aliased carries, so interpret mode covers
     it fully: must match augment_attn_forward (bf16 path, same eps draw)."""

@@ -76,3 +76,85 @@ def test_edge_neighbor_max_with_duplicate_points():
     ref = jnp.max(gather_neighbors(u, idx), axis=2)
     mx = edge_neighbor_max(x, u, K, interpret=True)
     np.testing.assert_array_equal(np.asarray(mx), np.asarray(ref))
+
+
+def test_edge_neighbor_max_transposed_extract_matches():
+    """_TRANSPOSED_EXTRACT is the same gather/max arithmetic with the
+    select+extract chain built transposed — output must equal the
+    production (row-major) kernel exactly (same products, same f32
+    accumulations, same tie semantics)."""
+    from flowcompare_tpu.ops import edgeconv_pallas as ep
+
+    B, N, K, Cq, Cout = 2, 200, 12, 16, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, Cq), jnp.bfloat16)
+    u = jax.random.normal(jax.random.PRNGKey(1), (B, N, Cout), jnp.bfloat16)
+    orig = ep._TRANSPOSED_EXTRACT
+    try:
+        ep._TRANSPOSED_EXTRACT = False        # flag is trace-time
+        ep.edge_neighbor_max.clear_cache()
+        ref = edge_neighbor_max(x, u, K, interpret=True)
+        ep._TRANSPOSED_EXTRACT = True
+        ep.edge_neighbor_max.clear_cache()
+        mx = ep.edge_neighbor_max(x, u, K, interpret=True)
+    finally:
+        ep._TRANSPOSED_EXTRACT = orig
+        ep.edge_neighbor_max.clear_cache()
+    np.testing.assert_array_equal(np.asarray(mx), np.asarray(ref))
+
+
+def test_edge_neighbor_max_transposed_extract_duplicates():
+    """Tie-breaking parity of the transposed select: duplicated points force
+    distance ties; the admitted set must match the row-major kernel (both
+    follow lax.top_k index-order semantics)."""
+    from flowcompare_tpu.ops import edgeconv_pallas as ep
+
+    B, N, K, Cq, Cout = 1, 96, 8, 8, 16
+    base = jax.random.normal(jax.random.PRNGKey(2), (B, N // 2, Cq),
+                             jnp.bfloat16)
+    x = jnp.concatenate([base, base], axis=1)        # every point duplicated
+    u = jax.random.normal(jax.random.PRNGKey(3), (B, N, Cout), jnp.bfloat16)
+    orig = ep._TRANSPOSED_EXTRACT
+    try:
+        ep._TRANSPOSED_EXTRACT = False        # flag is trace-time
+        ep.edge_neighbor_max.clear_cache()
+        ref = edge_neighbor_max(x, u, K, interpret=True)
+        ep._TRANSPOSED_EXTRACT = True
+        ep.edge_neighbor_max.clear_cache()
+        mx = ep.edge_neighbor_max(x, u, K, interpret=True)
+    finally:
+        ep._TRANSPOSED_EXTRACT = orig
+        ep.edge_neighbor_max.clear_cache()
+    np.testing.assert_array_equal(np.asarray(mx), np.asarray(ref))
+
+
+def test_fused_dgcnn_one_launch_transposed_matches():
+    """The one-launch encoder megakernel with _TRANSPOSED_EXTRACT must be
+    bit-identical to its row-major form (same gather arithmetic; only the
+    extraction layout changes), per-point and global-pool."""
+    from flowcompare_tpu.encoders import dgcnn as dg
+    from flowcompare_tpu.ops import edgeconv_pallas as ep
+
+    B, N, K = 2, 200, 12
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, N, 6))
+    orig = ep._TRANSPOSED_EXTRACT
+    dg._FORCE_FUSED_EVAL_INTERPRET = True
+    try:
+        for gp, seed in ((False, 0), (True, 2)):
+            params, state = dg.init_dgcnn(
+                jax.random.PRNGKey(seed), input_dim=6, emb_dim=16,
+                out_mlp_dims=[32, 32], global_pool=gp)
+
+            def run():
+                out, _ = dg.apply_dgcnn(params, state, x, n_neighbors=K,
+                                        training=False, dtype=jnp.bfloat16,
+                                        fused=True, global_pool=gp)
+                return np.asarray(out, np.float32)
+
+            ep._TRANSPOSED_EXTRACT = False
+            base = run()
+            ep._TRANSPOSED_EXTRACT = True
+            transposed = run()
+            np.testing.assert_array_equal(transposed, base)
+    finally:
+        ep._TRANSPOSED_EXTRACT = orig
+        dg._FORCE_FUSED_EVAL_INTERPRET = False
