@@ -51,7 +51,7 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
     row_sub = _ep._ROW_SUB
     it = iter(refs)
     x_ref = next(it)                      # (1, npad, in_dim) bf16
-    stages = [tuple(next(it) for _ in range(5)) for _ in dims]
+    stages = [tuple(next(it) for _ in range(6)) for _ in dims]
     w5, a5, b5 = next(it), next(it), next(it)
     head_w = [(next(it), next(it)) for _ in range(n_head)] if head else []
     out_ref = next(it)
@@ -61,19 +61,32 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
     rank_ref = None if use_value else next(it)   # (rb_block, npad) scratch
     mxT_ref = next(it) if transposed else None   # (256, npad) bf16 scratch
 
+    # zero-fill so padded feature lanes are exact zeros everywhere — the
+    # low-rank extraction gathers h slices padded to 16 sublanes and relies
+    # on the pad lanes contributing 0 to the deferred W_diff contraction
+    h_ref[:, :] = jnp.zeros(h_ref.shape, jnp.bfloat16)
     h_ref[:, :in_dim] = x_ref[0]
     ofs = 0
     for si, (cin, cout) in enumerate(dims):
-        wd, wdelta, sign, a, b = stages[si]
+        wd, wdT, wdelta, sign, a, b = stages[si]
+        cin_t = -(-cin // 16) * 16           # bf16 transpose granularity
+        use_x = transposed and _ep._EXTRACT_X and cin_t < cout
         hf = h_ref[:, :cin]                              # (npad, cin) bf16
-        u = jnp.dot(hf, wd[...], preferred_element_type=jnp.float32)
         c = jnp.dot(hf, wdelta[...], preferred_element_type=jnp.float32)
-        u_all = u.astype(jnp.bfloat16)
 
         if transposed:
-            # one (npad, cout) transpose per stage buys full-lane
-            # extraction matmuls (see edgeconv_pallas._TRANSPOSED_EXTRACT)
-            uT = u_all.T                                 # (cout, npad)
+            # one transpose per stage buys full-lane extraction matmuls
+            # (see edgeconv_pallas._TRANSPOSED_EXTRACT); with _EXTRACT_X
+            # the (smaller) INPUT block is transposed and W_diff is applied
+            # to the gathered neighbours instead (rank-cin shortcut)
+            if use_x:
+                opT = h_ref[:, :cin_t].T                 # (cin_t, npad)
+                wop = wdT
+            else:
+                u = jnp.dot(hf, wd[...],
+                            preferred_element_type=jnp.float32)
+                opT = u.astype(jnp.bfloat16).T           # (cout, npad)
+                wop = None
             for rb in range(npad // rb_block):
                 xb = h_ref[pl.ds(rb * rb_block, rb_block), :cin]
                 ranksT = _ep._knn_select_ranks_t(xb, h_ref[:, :cin], k=k)
@@ -83,10 +96,13 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
                             pl.ds(rb * rb_block + sj * _ep._ROW_SUB_T,
                                   _ep._ROW_SUB_T)] = vals
 
-                _ep._knn_extract_max_t(uT, ranksT, store_t, k=k,
-                                       r=rb_block)
+                _ep._knn_extract_max_t(
+                    opT, ranksT, store_t, k=k, r=rb_block,
+                    wT=wop[...] if wop is not None else None)
             mx_cout = mxT_ref[:cout, :].T                # (npad, cout)
         else:
+            u = jnp.dot(hf, wd[...], preferred_element_type=jnp.float32)
+            u_all = u.astype(jnp.bfloat16)
             def rb_body(rb, _, cin=cin, cout=cout, u_all=u_all):
                 xb = h_ref[pl.ds(rb * rb_block, rb_block), :cin]
                 ranks = _ep._knn_select_ranks(
@@ -153,8 +169,14 @@ def fold_dgcnn(params: dict, state: dict, *, bn_eps: float = 1e-5) -> dict:
         inv = jax.lax.rsqrt(s["var"].astype(jnp.float32) + bn_eps)
         a = p["bn"]["scale"].astype(jnp.float32) * inv
         sign = jnp.where(a >= 0, 1.0, -1.0)
+        wd = (w[:cin] * sign[None, :]).astype(jnp.bfloat16)
+        cin_t = -(-cin // 16) * 16
         folds["stages"].append({
-            "wd": (w[:cin] * sign[None, :]).astype(jnp.bfloat16),
+            "wd": wd,
+            # transposed W_diff, zero-padded to the bf16 transpose
+            # granularity the low-rank extraction slices h at (the pad
+            # lanes of h are exact zeros, so the pad rows contribute 0)
+            "wdT": jnp.pad(wd, ((0, cin_t - cin), (0, 0))).T,
             "wdelta": (w[cin:] - w[:cin]).astype(jnp.bfloat16),
             "sign": sign[None, :],
             "a": a[None, :],
@@ -198,7 +220,7 @@ def _run(x, folds, k, head, interpret):
 
     for st in folds["stages"]:
         dims.append((st["wd"].shape[0], st["wd"].shape[1]))
-        for name in ("wd", "wdelta", "sign", "a", "b"):
+        for name in ("wd", "wdT", "wdelta", "sign", "a", "b"):
             add_w(st[name])
     for name in ("w5", "a5", "b5"):
         add_w(folds[name])

@@ -98,6 +98,23 @@ _UNROLL_EXTRACT = True
 _TRANSPOSED_EXTRACT = True
 _ROW_SUB_T = 128     # query rows per transposed extraction sub-block (lanes)
 
+# LOW-RANK extraction (one-launch encoder only): u = x @ W_diff has rank
+# <= cin, so on stages where cin < cout it is cheaper to gather the k
+# neighbours' INPUT rows x_j (cin sublanes) through the one-hot matmul and
+# apply W_diff to the gathered (cin, k*128) block than to gather the conv
+# outputs u_j (cout sublanes) directly:
+#     extract-u:  cout * Npad        per k*128-lane slot block
+#     extract-x:  cin * Npad + cout * pad128(cin)
+# Per stage (cin -> cout): s1 6->64 is ~4.5x cheaper (cin pads to 16
+# sublanes), s3 64->128 and s4 128->256 ~1.7x; s2 64->64 keeps extract-u.
+# Exactness: the one-hot gather returns the bf16 x_j rows exactly, the
+# deferred W_diff matmul contracts the same bf16 operand pairs over the
+# same cin axis as the full-cloud u = x @ W_diff, and bf16 rounding is
+# monotone so round(max) == max(round) — bit-exact vs extract-u (asserted
+# on CPU interpret in tests/test_pallas_kernels.py and on chip by
+# tools/ab_extract_x.py). Trace-time flag.
+_EXTRACT_X = True
+
 
 def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
     """Exact kNN selection of `k` neighbours of each row of xb among the
@@ -232,14 +249,20 @@ def _knn_select_ranks_t(xb, xf, *, k: int):
     return jnp.where(mask, sel_rank, 0)      # (Npad, R) int32
 
 
-def _knn_extract_max_t(uT, ranksT, store, *, k: int, r: int):
+def _knn_extract_max_t(uT, ranksT, store, *, k: int, r: int, wT=None):
     """Transposed one-hot MXU extraction: per sub-block of _ROW_SUB_T query
     rows, H^T[:, t*RS + q] = [rank^T[:, q] == t+1] is k scalar-compare
     passes lane-concatenated at 128-aligned offsets, and
     u^T (cout, Npad) @ H^T (Npad, k*RS) gathers every slot at FULL output
     lane utilization (N = k*RS vs the row-major form's N = cout). The max
     over k is a chain of aligned (cout, RS) lane-slice maxes.
-    `store(si, (cout, RS) bf16)` writes each transposed max block."""
+    `store(si, (cout, RS) bf16)` writes each transposed max block.
+
+    wT (cout, cin) enables the LOW-RANK form (_EXTRACT_X): uT is then the
+    transposed INPUT features x^T (cin, Npad); the gather returns the
+    neighbours' x rows exactly (one-hot sum of bf16 values) and the conv
+    u_j = x_j @ W_diff is applied to the gathered (cin, k*RS) block — a
+    cout x cin x k*RS matmul instead of a cout x Npad x k*RS gather."""
     n_sub = r // _ROW_SUB_T
     for si in range(n_sub):
         rk = ranksT[:, si * _ROW_SUB_T:(si + 1) * _ROW_SUB_T]
@@ -247,6 +270,12 @@ def _knn_extract_max_t(uT, ranksT, store, *, k: int, r: int):
             [(rk == t).astype(jnp.bfloat16) for t in range(1, k + 1)],
             axis=1)                                    # (Npad, k*RS)
         sel = jnp.dot(uT, h, preferred_element_type=jnp.float32)
+        if wT is not None:
+            # exact bf16 x_j values came out of the one-hot gather; the
+            # deferred conv contracts the same bf16 pairs over the same
+            # cin order as the full-cloud u = x @ W_diff
+            sel = jnp.dot(wT, sel.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
         mx = sel[:, :_ROW_SUB_T]
         for t in range(1, k):
             mx = jnp.maximum(

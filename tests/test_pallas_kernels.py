@@ -127,6 +127,43 @@ def test_edge_neighbor_max_transposed_extract_duplicates():
     np.testing.assert_array_equal(np.asarray(mx), np.asarray(ref))
 
 
+def test_fused_dgcnn_one_launch_extract_x_matches():
+    """_EXTRACT_X (low-rank extraction: gather the neighbours' input rows,
+    apply W_diff after) must be bit-identical to direct extract-u within the
+    transposed one-launch encoder: the one-hot gather returns exact bf16
+    rows, the deferred conv contracts the same bf16 pairs over the same cin
+    order, and bf16 rounding is monotone (round∘max == max∘round)."""
+    from flowcompare_tpu.encoders import dgcnn as dg
+    from flowcompare_tpu.ops import edgeconv_pallas as ep
+
+    B, N, K = 2, 200, 12
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, N, 6))
+    orig_t, orig_x = ep._TRANSPOSED_EXTRACT, ep._EXTRACT_X
+    dg._FORCE_FUSED_EVAL_INTERPRET = True
+    try:
+        ep._TRANSPOSED_EXTRACT = True
+        for gp, seed in ((False, 0), (True, 2)):
+            params, state = dg.init_dgcnn(
+                jax.random.PRNGKey(seed), input_dim=6, emb_dim=16,
+                out_mlp_dims=[32, 32], global_pool=gp)
+
+            def run():
+                out, _ = dg.apply_dgcnn(params, state, x, n_neighbors=K,
+                                        training=False, dtype=jnp.bfloat16,
+                                        fused=True, global_pool=gp)
+                return np.asarray(out, np.float32)
+
+            ep._EXTRACT_X = False
+            base = run()
+            ep._EXTRACT_X = True
+            lowrank = run()
+            np.testing.assert_array_equal(lowrank, base)
+    finally:
+        ep._TRANSPOSED_EXTRACT = orig_t
+        ep._EXTRACT_X = orig_x
+        dg._FORCE_FUSED_EVAL_INTERPRET = False
+
+
 def test_fused_dgcnn_one_launch_transposed_matches():
     """The one-launch encoder megakernel with _TRANSPOSED_EXTRACT must be
     bit-identical to its row-major form (same gather arithmetic; only the
