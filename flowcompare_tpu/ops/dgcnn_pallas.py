@@ -89,16 +89,33 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
                 wop = None
             for rb in range(npad // rb_block):
                 xb = h_ref[pl.ds(rb * rb_block, rb_block), :cin]
-                ranksT = _ep._knn_select_ranks_t(xb, h_ref[:, :cin], k=k)
+                if _ep._ABLATE == "noselect_t":
+                    # WRONG OUTPUTS — timing probe: constant ranks keep the
+                    # extraction while deleting the select chain
+                    ranksT = (jax.lax.broadcasted_iota(
+                        jnp.int32, (npad, rb_block), 0) % (k + 1))
+                else:
+                    ranksT = _ep._knn_select_ranks_t(xb, h_ref[:, :cin],
+                                                     k=k)
 
                 def store_t(sj, vals, rb=rb, cout=cout):
                     mxT_ref[:cout,
                             pl.ds(rb * rb_block + sj * _ep._ROW_SUB_T,
                                   _ep._ROW_SUB_T)] = vals
 
-                _ep._knn_extract_max_t(
-                    opT, ranksT, store_t, k=k, r=rb_block,
-                    wT=wop[...] if wop is not None else None)
+                if _ep._ABLATE == "noextract_t":
+                    # WRONG OUTPUTS — timing probe: consume the ranks with
+                    # a cheap store so the select chain can't be dead-coded
+                    for sj in range(rb_block // _ep._ROW_SUB_T):
+                        seg = ranksT[:1, sj * _ep._ROW_SUB_T:
+                                     (sj + 1) * _ep._ROW_SUB_T]
+                        store_t(sj, jnp.broadcast_to(
+                            seg.astype(jnp.bfloat16),
+                            (cout, _ep._ROW_SUB_T)))
+                else:
+                    _ep._knn_extract_max_t(
+                        opT, ranksT, store_t, k=k, r=rb_block,
+                        wT=wop[...] if wop is not None else None)
             mx_cout = mxT_ref[:cout, :].T                # (npad, cout)
         else:
             u = jnp.dot(hf, wd[...], preferred_element_type=jnp.float32)
