@@ -87,13 +87,41 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
                             preferred_element_type=jnp.float32)
                 opT = u.astype(jnp.bfloat16).T           # (cout, npad)
                 wop = None
-            for rb in range(npad // rb_block):
+            nblocks = npad // rb_block
+            n_sub = rb_block // _ep._ROW_SUB_T
+            pipelined = (_ep._PIPELINED_EXTRACT and nblocks > 1
+                         and _ep._ABLATE == "full")
+            wT_val = wop[...] if wop is not None else None
+            ranks_prev = None
+            for rb in range(nblocks):
                 xb = h_ref[pl.ds(rb * rb_block, rb_block), :cin]
                 if _ep._ABLATE == "noselect_t":
                     # WRONG OUTPUTS — timing probe: constant ranks keep the
                     # extraction while deleting the select chain
                     ranksT = (jax.lax.broadcasted_iota(
                         jnp.int32, (npad, rb_block), 0) % (k + 1))
+                elif pipelined and ranks_prev is not None:
+                    # hide block rb-1's extraction inside block rb's
+                    # binary-search loop (MXU gathers under VPU sweeps)
+                    for sub in range(n_sub):
+                        mxT_ref[:cout,
+                                pl.ds((rb - 1) * rb_block
+                                      + sub * _ep._ROW_SUB_T,
+                                      _ep._ROW_SUB_T)] = jnp.full(
+                            (cout, _ep._ROW_SUB_T), -jnp.inf, jnp.bfloat16)
+
+                    def rmw(sub, vals, rb=rb, cout=cout):
+                        sl = (slice(0, cout),
+                              pl.ds((rb - 1) * rb_block
+                                    + sub * _ep._ROW_SUB_T, _ep._ROW_SUB_T))
+                        mxT_ref[sl] = jnp.maximum(
+                            mxT_ref[sl], vals.astype(jnp.bfloat16))
+
+                    unit, n_fused = _ep._pipelined_extract_unit(
+                        ranks_prev, opT, wT_val, rmw, k=k, r=rb_block)
+                    ranksT = _ep._knn_select_ranks_t(
+                        xb, h_ref[:, :cin], k=k,
+                        fuse_unit=unit, n_fused=n_fused)
                 else:
                     ranksT = _ep._knn_select_ranks_t(xb, h_ref[:, :cin],
                                                      k=k)
@@ -106,16 +134,26 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
                 if _ep._ABLATE == "noextract_t":
                     # WRONG OUTPUTS — timing probe: consume the ranks with
                     # a cheap store so the select chain can't be dead-coded
-                    for sj in range(rb_block // _ep._ROW_SUB_T):
+                    for sj in range(n_sub):
                         seg = ranksT[:1, sj * _ep._ROW_SUB_T:
                                      (sj + 1) * _ep._ROW_SUB_T]
                         store_t(sj, jnp.broadcast_to(
                             seg.astype(jnp.bfloat16),
                             (cout, _ep._ROW_SUB_T)))
-                else:
+                elif not pipelined:
                     _ep._knn_extract_max_t(
-                        opT, ranksT, store_t, k=k, r=rb_block,
-                        wT=wop[...] if wop is not None else None)
+                        opT, ranksT, store_t, k=k, r=rb_block, wT=wT_val)
+                ranks_prev = ranksT
+            if pipelined:
+                # tail: the last block's extraction has no search to hide
+                # under — run it unfused (plain stores)
+                def store_last(sj, vals, rb=nblocks - 1, cout=cout):
+                    mxT_ref[:cout,
+                            pl.ds(rb * rb_block + sj * _ep._ROW_SUB_T,
+                                  _ep._ROW_SUB_T)] = vals
+
+                _ep._knn_extract_max_t(
+                    opT, ranks_prev, store_last, k=k, r=rb_block, wT=wT_val)
             mx_cout = mxT_ref[:cout, :].T                # (npad, cout)
         else:
             u = jnp.dot(hf, wd[...], preferred_element_type=jnp.float32)

@@ -115,6 +115,21 @@ _ROW_SUB_T = 128     # query rows per transposed extraction sub-block (lanes)
 # tools/ab_extract_x.py). Trace-time flag.
 _EXTRACT_X = True
 
+# PIPELINED select/extract (one-launch encoder only): a fori_loop body is a
+# Mosaic scheduling BARRIER, so block rb's 31-step binary search (pure VPU)
+# cannot overlap block rb-1's extraction matmuls (MXU) when they are emitted
+# sequentially — the chip ablation (save/bench/ablate_enc_t.json) shows the
+# two halves simply ADD (6.8 + 6.3 = 13.1 ms/batch). This flag moves the
+# PREVIOUS row-block's extraction INSIDE the binary-search loop body: each
+# of the first ceil(k/u) iterations performs one bs step for block rb plus
+# u one-hot slot gathers for block rb-1, accumulating the running max by
+# read-modify-write into the caller's mx scratch. MXU and VPU slots of one
+# loop body co-issue, hiding the gather matmuls under the search sweeps.
+# Bit-exact: the same per-slot dots run in the same contraction order, and
+# bf16 rounding is monotone so a bf16 running max equals the f32-max-then-
+# round of the unfused path. Trace-time flag (tools/ab_enc_pipelined.py).
+_PIPELINED_EXTRACT = False
+
 
 def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
     """Exact kNN selection of `k` neighbours of each row of xb among the
@@ -195,14 +210,20 @@ def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
         rank_ref[:, :] = val
     return val
 
-def _knn_select_ranks_t(xb, xf, *, k: int):
+def _knn_select_ranks_t(xb, xf, *, k: int, fuse_unit=None, n_fused: int = 0):
     """_knn_select_ranks with the whole chain built TRANSPOSED: query rows
     on LANES, neighbour candidates on SUBLANES. Returns (Npad, R) int32 slot
     ranks (1..k on selected rows / 0 elsewhere) — the layout
     _knn_extract_max_t consumes directly, so no rank transpose ever
     materializes. Same distances, same binary-search threshold, same
     index-order tie semantics (the prefix now runs down the sublane axis,
-    which IS the neighbour-index axis here)."""
+    which IS the neighbour-index axis here).
+
+    fuse_unit(i): optional side-effecting callback (ref stores only) run
+    inside the binary-search loop body for iterations 0..n_fused-1 — the
+    _PIPELINED_EXTRACT hook that lets the caller hide the previous
+    row-block's extraction matmuls under this block's search sweeps. It
+    must not read anything this search writes."""
     r = xb.shape[0]
 
     crossT = jnp.dot(xf, xb.T, preferred_element_type=jnp.float32)  # (Npad,R)
@@ -220,7 +241,18 @@ def _knn_select_ranks_t(xb, xf, *, k: int):
 
     lo0 = jnp.zeros((1, r), jnp.int32)
     hi0 = jnp.full((1, r), _F32_INF_BITS, jnp.int32)
-    _, thresh = jax.lax.fori_loop(0, 31, bs_body, (lo0, hi0))
+    if fuse_unit is None:
+        _, thresh = jax.lax.fori_loop(0, 31, bs_body, (lo0, hi0))
+    else:
+        assert 0 < n_fused <= 31
+
+        def bs_fused(i, carry):
+            out = bs_body(i, carry)
+            fuse_unit(i)
+            return out
+
+        carry = jax.lax.fori_loop(0, n_fused, bs_fused, (lo0, hi0))
+        _, thresh = jax.lax.fori_loop(n_fused, 31, bs_body, carry)
 
     strict = d_int < thresh
     ties = d_int == thresh
@@ -247,6 +279,39 @@ def _knn_select_ranks_t(xb, xf, *, k: int):
     mask = strict | (ties & (tp <= m))
     sel_rank = sp + jnp.minimum(tp, m)
     return jnp.where(mask, sel_rank, 0)      # (Npad, R) int32
+
+
+def _pipelined_extract_unit(ranks_prev, opT, wT, rmw, *, k: int, r: int):
+    """Build the (fuse_unit, n_fused) pair that performs the extraction of
+    `ranks_prev` ((Npad, r) int32 slot ranks) INSIDE another row-block's
+    binary-search loop (_knn_select_ranks_t fuse_unit hook). Iteration i
+    gathers slot(s) u_per*i+j+1 of every _ROW_SUB_T-lane sub-block via the
+    one-hot MXU matmul (plus the deferred W_diff conv when wT is given) and
+    folds them into the caller's running max through `rmw(sub, vals_f32)`
+    — the caller pre-initialises the target to -inf. Bit-exact vs
+    _knn_extract_max_t: identical dots in identical contraction order, and
+    a bf16 running max equals f32-max-then-round because bf16 rounding is
+    monotone."""
+    n_sub = r // _ROW_SUB_T
+    u_per = -(-k // 31)               # slots per fused iteration
+    n_fused = -(-k // u_per)
+    tail = (k % u_per) != 0           # dead slots past k on the last iter
+
+    def unit(i):
+        for j in range(u_per):
+            t = u_per * i + j + 1                       # dynamic slot 1..k
+            for sub in range(n_sub):
+                rk = ranks_prev[:, sub * _ROW_SUB_T:(sub + 1) * _ROW_SUB_T]
+                h = (rk == t).astype(jnp.bfloat16)      # (Npad, RS)
+                sel = jnp.dot(opT, h, preferred_element_type=jnp.float32)
+                if wT is not None:
+                    sel = jnp.dot(wT, sel.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+                if tail:
+                    sel = jnp.where(t <= k, sel, -jnp.inf)
+                rmw(sub, sel)
+
+    return unit, n_fused
 
 
 def _knn_extract_max_t(uT, ranksT, store, *, k: int, r: int, wT=None):

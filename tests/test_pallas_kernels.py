@@ -164,6 +164,42 @@ def test_fused_dgcnn_one_launch_extract_x_matches():
         dg._FORCE_FUSED_EVAL_INTERPRET = False
 
 
+def test_fused_dgcnn_one_launch_pipelined_matches():
+    """_PIPELINED_EXTRACT (block rb-1's extraction fused into block rb's
+    binary-search loop) must be bit-identical to the sequential form: the
+    same per-slot one-hot dots run in the same contraction order, and the
+    bf16 running max equals f32-max-then-round by monotonicity. N=520 gives
+    3 row-blocks (2 fused + 1 unfused tail); k=33 > 31 exercises the
+    multi-slot-per-iteration path with a masked dead slot."""
+    from flowcompare_tpu.encoders import dgcnn as dg
+    from flowcompare_tpu.ops import edgeconv_pallas as ep
+
+    B, N = 2, 520
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, N, 6))
+    orig = ep._PIPELINED_EXTRACT
+    dg._FORCE_FUSED_EVAL_INTERPRET = True
+    try:
+        for gp, kk, seed in ((False, 12, 0), (True, 33, 2)):
+            params, state = dg.init_dgcnn(
+                jax.random.PRNGKey(seed), input_dim=6, emb_dim=16,
+                out_mlp_dims=[32, 32], global_pool=gp)
+
+            def run():
+                out, _ = dg.apply_dgcnn(params, state, x, n_neighbors=kk,
+                                        training=False, dtype=jnp.bfloat16,
+                                        fused=True, global_pool=gp)
+                return np.asarray(out, np.float32)
+
+            ep._PIPELINED_EXTRACT = False
+            base = run()
+            ep._PIPELINED_EXTRACT = True
+            pipelined = run()
+            np.testing.assert_array_equal(pipelined, base)
+    finally:
+        ep._PIPELINED_EXTRACT = orig
+        dg._FORCE_FUSED_EVAL_INTERPRET = False
+
+
 def test_fused_dgcnn_one_launch_transposed_matches():
     """The one-launch encoder megakernel with _TRANSPOSED_EXTRACT must be
     bit-identical to its row-major form (same gather arithmetic; only the
