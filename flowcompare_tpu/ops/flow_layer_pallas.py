@@ -128,6 +128,23 @@ _CARRY_BF16 = False
 # are pre-concatenated host-side in fused_flow_layers. Trace-time.
 _CPL_IN_CONCAT = False
 
+# TRANSPOSED eval kernel layout: the carry lives as (LAT', QB) — features on
+# SUBLANES, query rows on LANES — so every matmul whose OUTPUT width is far
+# below 128 stops wasting MXU lanes: q (64 cols -> 64 sublanes), e@v (65 ->
+# 72), the coupling out-layer and LU tail (300 -> 304 vs 384 padded lanes),
+# and wk folds into the q-chain (s^T = ctx @ (wk @ q^T), same real algebra).
+# Per-(layer, item) padded-MAC census: q 33.5M->16.8M+8.4M, e@v 164M->94M,
+# cpl out 201M->159M, LU 151M->119M — ~9% of the kernel's MXU work, which
+# the 2026-08-18 ablation shows is the critical path. The latent is padded
+# 300->304 (each half 150->152, 8-aligned for f32 sublane slicing) with
+# provably-inert dead dims: zero out-layer rows give sc=1/t=0, identity LU
+# rows keep them 0, ldj contributions are exactly 0. LayerNorm/softmax
+# reductions become cross-sublane (cheaper than cross-lane on the VPU).
+# Eval-only (save_every=None); training keeps the row-major kernel whose
+# backward is already validated. Trace-time; chip A/B
+# tools/ab_transposed_eval.py.
+_TRANSPOSED_EVAL = False
+
 
 def _gelu(x):
     """Fast erf GELU — core/mlp.gelu's logit-space form (shared
@@ -531,6 +548,10 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
     "lu_ldj_f" (L,)}. Returns (x, ldj), plus the (L/save_every, B, N, LAT)
     layer-entry checkpoints when save_every is set (training backward).
     """
+    if _TRANSPOSED_EVAL and save_every is None:
+        return fused_flow_layers_t(x, ldj, context, extra, stacks,
+                                   eps_affine=eps_affine,
+                                   interpret=interpret)
     b, n, lat = x.shape
     n_layers = stacks["lu_ldj_f"].shape[0]
     nc, e_dim = context.shape[1], context.shape[2]
@@ -638,6 +659,304 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
         return outs[0], outs[1][..., 0], outs[2]
     out_x, out_ldj = outs
     return out_x.astype(jnp.float32), out_ldj[..., 0]
+
+
+def fold_stacks_t(folded: dict, *, split: int, extra_dim: int) -> dict:
+    """Re-lay fold_stacks() output for the TRANSPOSED kernel (_kernel_t):
+    every weight pre-transposed to (out, in), biases as (out, 1) columns,
+    and the latent axis padded split->sp (8-aligned) with inert dead dims
+    scattered in (see _TRANSPOSED_EVAL). wkv splits into wk (kept (E, d),
+    it contracts against q^T in-kernel) and wvT ((d, E), producing v^T
+    directly from ctx^T). Host-side, f32, once per dispatch."""
+    import numpy as np
+
+    sp = -(-split // 8) * 8
+    latp = 2 * sp
+    pidx = np.concatenate([np.arange(split), sp + np.arange(split)])
+    dead = np.setdiff1d(np.arange(latp), pidx)
+
+    def tr(w):                       # (L, i, o) -> (L, o, i)
+        return jnp.swapaxes(w, 1, 2)
+
+    def bcol(b):                     # (L, o) | (L, 1, o) -> (L, o, 1)
+        return b.reshape(b.shape[0], -1)[:, :, None]
+
+    out = {"n_cpl": folded["n_cpl"], "sp": sp, "latp": latp}
+    has_attn = folded.get("pre") is not None
+    if has_attn:
+        pre = folded["pre"]
+        w0t = tr(pre[0][0])          # (L, o, split) — consumes x1 rows only
+        if sp != split:
+            w0t = jnp.pad(w0t, ((0, 0), (0, 0), (0, sp - split)))
+        out["pre_t"] = ([(w0t, bcol(pre[0][1]))]
+                        + [(tr(w), bcol(b)) for w, b in pre[1:]])
+        out["wq_t"] = tr(folded["wq_f"])        # (L, d, A)
+        out["bq_t"] = bcol(folded["bq_f"])      # (L, d, 1)
+        d = folded["wq_f"].shape[-1]
+        out["wk"] = folded["wkv"][:, :, :d]     # (L, E, d)
+        out["wvT"] = tr(folded["wkv"][:, :, d:])  # (L, d, E)
+    xet = tr(folded["cpl_in_xe"])    # (L, H, split+extra)
+    n_l, hid = xet.shape[0], xet.shape[1]
+    new = jnp.zeros((n_l, hid, sp + extra_dim), xet.dtype)
+    new = new.at[:, :, :split].set(xet[:, :, :split])
+    if extra_dim:
+        new = new.at[:, :, sp:].set(xet[:, :, split:])
+    out["cpl_in_xe_t"] = new
+    out["cpl_in_c_t"] = tr(folded["cpl_in_c"])
+    out["cpl_in_b_t"] = bcol(folded["cpl_in_b"])
+    rest = folded["cpl_rest"]
+    rest_t = [(tr(w), bcol(b)) for w, b in rest[:-1]]
+    wlt = tr(rest[-1][0])            # (L, lat, h) — scatter output rows
+    wlt_sc = jnp.zeros((n_l, latp, wlt.shape[-1]),
+                       wlt.dtype).at[:, pidx, :].set(wlt)
+    blt = jnp.zeros((n_l, latp), jnp.float32).at[:, pidx].set(
+        rest[-1][1].reshape(n_l, -1).astype(jnp.float32))[:, :, None]
+    out["cpl_rest_t"] = rest_t + [(wlt_sc, blt)]
+    lu = folded["lu_w_f"].astype(jnp.float32)   # (L, lat, lat)
+    lun = jnp.zeros((n_l, latp, latp), jnp.float32)
+    lun = lun.at[:, pidx[:, None], pidx[None, :]].set(lu)
+    if dead.size:
+        lun = lun.at[:, dead, dead].set(1.0)
+    out["lu_w_t"] = lun
+    lb = folded["lu_b"].reshape(n_l, -1).astype(jnp.float32)
+    out["lu_b_t"] = jnp.zeros((n_l, latp),
+                              jnp.float32).at[:, pidx].set(lb)[:, :, None]
+    out["lu_ldj_f"] = folded["lu_ldj_f"]
+    return out
+
+
+def _kernel_t(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
+              sp: int, eps_affine: float):
+    """_kernel with the (LAT', QB) transposed layout (see _TRANSPOSED_EVAL):
+    features on sublanes, query rows on lanes. Same math in the same
+    contraction order up to matmul transposition; LN/softmax/ldj reductions
+    run across sublanes. Eval-only (no saves)."""
+    it = iter(refs)
+    x_ref = next(it)          # (1, LATP, QB) f32  [aliased out]
+    ldj_ref = next(it)        # (1, 1, QB)    f32  [aliased out]
+    if has_attn:
+        ctx_ref = next(it)    # (1, Nc, E) bf16
+        ctxT_ref = next(it)   # (1, E, Nc) bf16
+    else:
+        ctxT_ref = next(it)   # (1, E, QB) bf16 (global embedding, transposed)
+    extraT_ref = next(it) if has_extra else None
+    if has_attn:
+        pre_w = [(next(it), next(it)) for _ in range(n_pre)]
+        wq_t, bq_t = next(it), next(it)
+        wk, wvT = next(it), next(it)
+    cpl_in_xe = next(it)      # (1, H, SP+ED) bf16
+    cpl_in_c = next(it)       # (1, H, D|E)   bf16
+    cpl_in_b = next(it)       # (1, H, 1)     f32
+    cpl_w = [(next(it), next(it)) for _ in range(n_cpl - 1)]
+    lu_w = next(it)           # (1, LATP, LATP) bf16
+    lu_b = next(it)           # (1, LATP, 1)    f32
+    lu_ldj = next(it)         # (1, 1, 1)       f32
+    x_out = next(it)
+    ldj_out = next(it)
+
+    x = x_ref[0].astype(jnp.float32)               # (LATP, QB)
+
+    if has_attn:
+        # v^T straight from ctx^T; the ones ROW is the softmax denominator
+        # (transposed twin of the normal kernel's ones column)
+        vT = jnp.dot(wvT[0], ctxT_ref[0], preferred_element_type=jnp.float32)
+        v1T = jnp.concatenate(
+            [vT, jnp.ones((1, vT.shape[1]), vT.dtype)], axis=0)
+        v1Tb = v1T.astype(jnp.bfloat16)
+        d = wq_t[0].shape[0]
+
+    def lin_t(h, pair):
+        w, bb = pair
+        return (jnp.dot(w[0], h, preferred_element_type=jnp.float32)
+                + bb[0].astype(jnp.float32))
+
+    x1 = x[:sp]
+    x2 = x[sp:]
+    x1b = x1.astype(jnp.bfloat16)
+    x1e = (jnp.concatenate([x1b, extraT_ref[0]], axis=0)
+           if has_extra else x1b)
+
+    if has_attn and "noattn" not in ABLATE:
+        h = _gelu(lin_t(x1b, pre_w[0])).astype(jnp.bfloat16)
+        residual = h
+        for kk, idx in enumerate(range(1, n_pre - 1)):
+            if (idx - 1) % 2 == 0:
+                residual = h
+                h = _gelu(lin_t(h, pre_w[kk + 1])).astype(jnp.bfloat16)
+            else:
+                h = _gelu(residual.astype(jnp.float32)
+                          + lin_t(h, pre_w[kk + 1])).astype(jnp.bfloat16)
+        q_in = lin_t(h, pre_w[n_pre - 1])           # (A, QB) f32
+        mean = jnp.mean(q_in, axis=0, keepdims=True)
+        var = jnp.mean(q_in * q_in, axis=0, keepdims=True) - mean * mean
+        qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
+        qT = (jnp.dot(wq_t[0], qn.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+              + bq_t[0].astype(jnp.float32))        # (d, QB)
+        if _SOFTMAX_EXP2:
+            qT = qT * jnp.float32(math.log2(math.e))
+        # s^T = ctx @ (wk @ q^T): the wk matmul rides the q-chain instead of
+        # projecting ctx every layer — same real algebra, one matmul fewer
+        g = jnp.dot(wk[0], qT.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)       # (E, QB)
+        sT = jnp.dot(ctx_ref[0], g.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)      # (Nc, QB)
+        clamp = 80.0 * math.log2(math.e) if _SOFTMAX_EXP2 else 80.0
+        if _SOFTMAX_MAX:
+            sm = sT - jnp.max(sT, axis=0, keepdims=True)
+        else:
+            sm = jnp.minimum(sT, jnp.float32(clamp))
+        if "noexp" in ABLATE:
+            eT = sm
+        else:
+            eT = jnp.exp2(sm) if _SOFTMAX_EXP2 else jnp.exp(sm)
+        avT = jnp.dot(v1Tb, eT.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)     # (d+1, QB)
+        cond = (avT[:d] / avT[d:d + 1]).astype(jnp.bfloat16)
+    elif has_attn:
+        cond = x1b[:cpl_in_c[0].shape[-1]]
+    else:
+        cond = ctxT_ref[0]                          # (E, QB) bf16
+
+    acc = (jnp.dot(cpl_in_xe[0], x1e, preferred_element_type=jnp.float32)
+           + jnp.dot(cpl_in_c[0], cond, preferred_element_type=jnp.float32)
+           + cpl_in_b[0].astype(jnp.float32))
+    h = _gelu(acc).astype(jnp.bfloat16)
+    residual = h
+    if "nocpl_hidden" not in ABLATE:
+        for kk, idx in enumerate(range(1, n_cpl - 1)):
+            if (idx - 1) % 2 == 0:
+                residual = h
+                h = _gelu(lin_t(h, cpl_w[kk])).astype(jnp.bfloat16)
+            else:
+                h = _gelu(residual.astype(jnp.float32)
+                          + lin_t(h, cpl_w[kk])).astype(jnp.bfloat16)
+    st = lin_t(h, cpl_w[n_cpl - 2])                 # (LATP, QB) f32
+
+    s_raw = st[:sp]
+    t = st[sp:]
+    sc = (2.0 * jax.nn.sigmoid(s_raw) - 1.0) * (1.0 - eps_affine) + 1.0
+    y2 = x2 * sc + t
+    ldj_add = jnp.sum(jnp.log(sc), axis=0, keepdims=True)    # (1, QB)
+    y = jnp.concatenate([x1, y2], axis=0)
+    if "nolu" in ABLATE:
+        z = y + lu_b[0].astype(jnp.float32)
+    else:
+        z = (jnp.dot(lu_w[0], y.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+             + lu_b[0].astype(jnp.float32))
+    x_out[0] = z.astype(x_out.dtype)
+    ldj_out[0] = ldj_ref[0] + ldj_add + lu_ldj[0, 0, 0]
+
+
+def fused_flow_layers_t(x: jnp.ndarray, ldj: jnp.ndarray,
+                        context: jnp.ndarray, extra: Optional[jnp.ndarray],
+                        stacks: dict, *, eps_affine: float = 1e-8,
+                        interpret: bool = False):
+    """fused_flow_layers in the TRANSPOSED layout (_TRANSPOSED_EVAL): the
+    carry streams as (B, LAT', N) with one XLA transpose+pad at entry and
+    exit (~25 MB each at full scale — negligible vs the 115-layer body).
+    Same (x, ldj) contract as the row-major kernel; eval-only."""
+    b, n, lat = x.shape
+    split = lat // 2
+    stx = fold_stacks_t(stacks, split=split,
+                        extra_dim=(extra.shape[-1]
+                                   if extra is not None else 0))
+    sp, latp = stx["sp"], stx["latp"]
+    n_layers = stacks["lu_ldj_f"].shape[0]
+    has_attn = stacks.get("pre") is not None
+    has_extra = extra is not None
+    qb = _Q_BLOCK if n % _Q_BLOCK == 0 else math.gcd(n, _Q_BLOCK)
+    grid = (n_layers, b, n // qb)
+    bf = jnp.bfloat16
+
+    xt = jnp.swapaxes(x, 1, 2).astype(jnp.float32)  # (B, LAT, N)
+    if sp != split:
+        zpad = jnp.zeros((b, sp - split, n), jnp.float32)
+        xt = jnp.concatenate([xt[:, :split], zpad, xt[:, split:], zpad], 1)
+    inputs = [xt, ldj.astype(jnp.float32)[:, None, :]]
+    in_specs = [
+        pl.BlockSpec((1, latp, qb), lambda l, bi, nb: (bi, 0, nb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, qb), lambda l, bi, nb: (bi, 0, nb),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_attn:
+        nc, e_dim = context.shape[1], context.shape[2]
+        inputs.append(context.astype(bf))
+        in_specs.append(pl.BlockSpec((1, nc, e_dim),
+                                     lambda l, bi, nb: (bi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.swapaxes(context, 1, 2).astype(bf))
+        in_specs.append(pl.BlockSpec((1, e_dim, nc),
+                                     lambda l, bi, nb: (bi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        e_dim = context.shape[2]
+        inputs.append(jnp.swapaxes(context, 1, 2).astype(bf))  # (B, E, N)
+        in_specs.append(pl.BlockSpec((1, e_dim, qb),
+                                     lambda l, bi, nb: (bi, 0, nb),
+                                     memory_space=pltpu.VMEM))
+    if has_extra:
+        ed = extra.shape[-1]
+        inputs.append(jnp.swapaxes(extra, 1, 2).astype(bf))
+        in_specs.append(pl.BlockSpec((1, ed, qb),
+                                     lambda l, bi, nb: (bi, 0, nb),
+                                     memory_space=pltpu.VMEM))
+
+    def add_stacked(arr, cast=bf):
+        arr = arr.astype(cast)
+        blk = (1,) + arr.shape[1:]
+        inputs.append(arr)
+        in_specs.append(pl.BlockSpec(
+            blk, lambda l, bi, nb: (l,) + (0,) * (arr.ndim - 1),
+            memory_space=pltpu.VMEM))
+
+    if has_attn:
+        for w, bb in stx["pre_t"]:
+            add_stacked(w)
+            add_stacked(bb)
+        add_stacked(stx["wq_t"])
+        add_stacked(stx["bq_t"], jnp.float32)
+        add_stacked(stx["wk"])
+        add_stacked(stx["wvT"])
+    add_stacked(stx["cpl_in_xe_t"])
+    add_stacked(stx["cpl_in_c_t"])
+    add_stacked(stx["cpl_in_b_t"], jnp.float32)
+    for w, bb in stx["cpl_rest_t"]:
+        add_stacked(w)
+        add_stacked(bb)
+    add_stacked(stx["lu_w_t"])
+    add_stacked(stx["lu_b_t"], jnp.float32)
+    add_stacked(stx["lu_ldj_f"].reshape(n_layers, 1, 1), jnp.float32)
+
+    kernel = functools.partial(
+        _kernel_t, n_pre=len(stx.get("pre_t", ())), n_cpl=stx["n_cpl"],
+        has_extra=has_extra, has_attn=has_attn, sp=sp,
+        eps_affine=eps_affine)
+
+    out_specs = [
+        pl.BlockSpec((1, latp, qb), lambda l, bi, nb: (bi, 0, nb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, qb), lambda l, bi, nb: (bi, 0, nb),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, latp, n), jnp.float32),
+                 jax.ShapeDtypeStruct((b, 1, n), jnp.float32)]
+    zt, ldjt = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+    if sp != split:
+        zt = jnp.concatenate([zt[:, :split], zt[:, sp:sp + split]], 1)
+    return jnp.swapaxes(zt, 1, 2), ldjt[:, 0]
 
 
 def fold_stacks_inverse(stacks: dict, folded: dict) -> dict:

@@ -571,3 +571,85 @@ def test_forward_kernel_global_conditioner_interpret():
     zk, lk = flp.fused_flow_layers(x, ldj0, ctx, None, f1, interpret=True)
     assert float(jnp.max(jnp.abs(zk - zs))) < 3e-2
     assert float(jnp.max(jnp.abs(lk - ls))) < 2e-3
+
+
+def test_transposed_kernel_one_layer_interpret_matches_rowmajor():
+    """_kernel_t (features-on-sublanes layout, padded latent with inert dead
+    dims) must match the row-major kernel on the SAME one-layer fixture —
+    tiny latent 8 / split 4 pads to sp=8 / latp=16, so the scatter/pad path
+    of fold_stacks_t is fully exercised."""
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+
+    cfg, model, params, f1, s1, x, ctx, extra = _one_layer_fixture()
+    ldj0 = jnp.zeros(x.shape[:2], jnp.float32)
+    zr, lr = flp.fused_flow_layers(x, ldj0, ctx, extra, f1, interpret=True)
+    zt, lt = flp.fused_flow_layers_t(x, ldj0, ctx, extra, f1,
+                                     interpret=True)
+    assert zt.shape == zr.shape and lt.shape == lr.shape
+    # same math, transposed contraction order: bf16-level agreement
+    assert float(jnp.max(jnp.abs(zt - zr))) < 3e-2
+    assert float(jnp.max(jnp.abs(lt - lr))) < 2e-3
+
+
+def test_transposed_kernel_dispatch_flag():
+    """fused_flow_layers routes to the transposed kernel when
+    _TRANSPOSED_EVAL is on (eval path only: save_every=None)."""
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+
+    cfg, model, params, f1, s1, x, ctx, extra = _one_layer_fixture()
+    ldj0 = jnp.zeros(x.shape[:2], jnp.float32)
+    zt, lt = flp.fused_flow_layers_t(x, ldj0, ctx, extra, f1,
+                                     interpret=True)
+    prod = flp._TRANSPOSED_EVAL
+    try:
+        flp._TRANSPOSED_EVAL = True
+        zd, ld = flp.fused_flow_layers(x, ldj0, ctx, extra, f1,
+                                       interpret=True)
+    finally:
+        flp._TRANSPOSED_EVAL = prod
+    np.testing.assert_array_equal(np.asarray(zd), np.asarray(zt))
+    np.testing.assert_array_equal(np.asarray(ld), np.asarray(lt))
+
+
+def test_transposed_kernel_global_conditioner_interpret():
+    """has_attn=False branch of _kernel_t (global embedding conditioner,
+    no extra context) against the row-major kernel."""
+    from flowcompare_tpu.configs import derive
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+    import flowcompare_tpu as fc
+
+    cfg = fc.get_config("helpful-sponge")
+    cfg.update(dict(
+        input_dim=4, latent_dim=8, cif_latent_dim=8, n_flow_layers=3,
+        hidden_dims=[16, 16], net_augmenter_dist_hidden_dims=[16, 16],
+        pre_attention_mlp_hidden_dims=[8, 8],
+        hidden_dims_embedder_out=[16, 16], attn_dim=12, attn_input_dim=8,
+        input_embedding_dim=4, cross_dim_head=8, sample_size=16,
+        n_samples_context=24, n_neighbors=4, compute_dtype="bfloat16"))
+    cfg = derive(cfg)
+    model = FlowCompareModel(cfg, remat=False)
+    params, _ = model.init_params(jax.random.PRNGKey(0))
+    prep = model._prepare_layers(params["layers"])
+    stacks = flp.append_final_block(
+        flp.build_layer_stacks(model, prep), params["final_block"],
+        cfg["latent_dim"])
+    folded = flp.fold_stacks(stacks, split=cfg["latent_dim"] // 2,
+                             extra_dim=0)
+
+    def sl(v):
+        if v is None or isinstance(v, int):
+            return v
+        if isinstance(v, list):
+            return [(w[:1], b[:1]) for w, b in v]
+        return v[:1]
+
+    f1 = {k: sl(v) for k, v in folded.items()}
+    B, N = 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    x = jax.random.normal(ks[0], (B, N, cfg["latent_dim"]))
+    ctx = jax.random.normal(ks[1], (B, N, folded["cpl_in_c"].shape[1]))
+    ldj0 = jnp.zeros((B, N))
+    zr, lr = flp.fused_flow_layers(x, ldj0, ctx, None, f1, interpret=True)
+    zt, lt = flp.fused_flow_layers_t(x, ldj0, ctx, None, f1, interpret=True)
+    assert float(jnp.max(jnp.abs(zt - zr))) < 3e-2
+    assert float(jnp.max(jnp.abs(lt - lr))) < 2e-3
