@@ -725,6 +725,75 @@ def fold_stacks_t(folded: dict, *, split: int, extra_dim: int) -> dict:
     return out
 
 
+def _lin_t(h, pair):
+    """Transposed linear: (out, in) weight block @ (in, rows) + (out, 1)."""
+    w, bb = pair
+    return (jnp.dot(w[0], h, preferred_element_type=jnp.float32)
+            + bb[0].astype(jnp.float32))
+
+
+def _attention_cond_t(x1b, pre_w, wq_t, bq_t, wk, ctxb, v1Tb, d, n_pre):
+    """The transposed twin of _attention_cond: pre-MLP, cross-sublane LN,
+    folded q projection, s^T = ctx @ (wk @ q^T), clamp softmax, and the
+    v1^T @ e^T matmul whose ones ROW is the denominator. Returns the
+    (d, rows) embedding in bf16."""
+    h = _gelu(_lin_t(x1b, pre_w[0])).astype(jnp.bfloat16)
+    residual = h
+    for kk, idx in enumerate(range(1, n_pre - 1)):
+        if (idx - 1) % 2 == 0:
+            residual = h
+            h = _gelu(_lin_t(h, pre_w[kk + 1])).astype(jnp.bfloat16)
+        else:
+            h = _gelu(residual.astype(jnp.float32)
+                      + _lin_t(h, pre_w[kk + 1])).astype(jnp.bfloat16)
+    q_in = _lin_t(h, pre_w[n_pre - 1])              # (A, rows) f32
+    mean = jnp.mean(q_in, axis=0, keepdims=True)
+    var = jnp.mean(q_in * q_in, axis=0, keepdims=True) - mean * mean
+    qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
+    qT = (jnp.dot(wq_t[0], qn.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+          + bq_t[0].astype(jnp.float32))            # (d, rows)
+    if _SOFTMAX_EXP2:
+        qT = qT * jnp.float32(math.log2(math.e))
+    # s^T = ctx @ (wk @ q^T): the wk matmul rides the q-chain instead of
+    # projecting ctx every layer — same real algebra, one matmul fewer
+    g = jnp.dot(wk[0], qT.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)           # (E, rows)
+    sT = jnp.dot(ctxb, g.astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32)          # (Nc, rows)
+    clamp = 80.0 * math.log2(math.e) if _SOFTMAX_EXP2 else 80.0
+    if _SOFTMAX_MAX:
+        sm = sT - jnp.max(sT, axis=0, keepdims=True)
+    else:
+        sm = jnp.minimum(sT, jnp.float32(clamp))
+    if "noexp" in ABLATE:
+        eT = sm
+    else:
+        eT = jnp.exp2(sm) if _SOFTMAX_EXP2 else jnp.exp(sm)
+    avT = jnp.dot(v1Tb, eT.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)         # (d+1, rows)
+    return (avT[:d] / avT[d:d + 1]).astype(jnp.bfloat16)
+
+
+def _coupling_st_t(x1e, cond, cpl_in_xe, cpl_in_c, cpl_in_b, cpl_w, n_cpl):
+    """Transposed coupling MLP: folded input sum, hidden+out chain.
+    Returns the (LATP, rows) f32 st block."""
+    acc = (jnp.dot(cpl_in_xe[0], x1e, preferred_element_type=jnp.float32)
+           + jnp.dot(cpl_in_c[0], cond, preferred_element_type=jnp.float32)
+           + cpl_in_b[0].astype(jnp.float32))
+    h = _gelu(acc).astype(jnp.bfloat16)
+    residual = h
+    if "nocpl_hidden" not in ABLATE:
+        for kk, idx in enumerate(range(1, n_cpl - 1)):
+            if (idx - 1) % 2 == 0:
+                residual = h
+                h = _gelu(_lin_t(h, cpl_w[kk])).astype(jnp.bfloat16)
+            else:
+                h = _gelu(residual.astype(jnp.float32)
+                          + _lin_t(h, cpl_w[kk])).astype(jnp.bfloat16)
+    return _lin_t(h, cpl_w[n_cpl - 2])
+
+
 def _kernel_t(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
               sp: int, eps_affine: float):
     """_kernel with the (LAT', QB) transposed layout (see _TRANSPOSED_EVAL):
@@ -765,11 +834,6 @@ def _kernel_t(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
         v1Tb = v1T.astype(jnp.bfloat16)
         d = wq_t[0].shape[0]
 
-    def lin_t(h, pair):
-        w, bb = pair
-        return (jnp.dot(w[0], h, preferred_element_type=jnp.float32)
-                + bb[0].astype(jnp.float32))
-
     x1 = x[:sp]
     x2 = x[sp:]
     x1b = x1.astype(jnp.bfloat16)
@@ -777,61 +841,15 @@ def _kernel_t(*refs, n_pre: int, n_cpl: int, has_extra: bool, has_attn: bool,
            if has_extra else x1b)
 
     if has_attn and "noattn" not in ABLATE:
-        h = _gelu(lin_t(x1b, pre_w[0])).astype(jnp.bfloat16)
-        residual = h
-        for kk, idx in enumerate(range(1, n_pre - 1)):
-            if (idx - 1) % 2 == 0:
-                residual = h
-                h = _gelu(lin_t(h, pre_w[kk + 1])).astype(jnp.bfloat16)
-            else:
-                h = _gelu(residual.astype(jnp.float32)
-                          + lin_t(h, pre_w[kk + 1])).astype(jnp.bfloat16)
-        q_in = lin_t(h, pre_w[n_pre - 1])           # (A, QB) f32
-        mean = jnp.mean(q_in, axis=0, keepdims=True)
-        var = jnp.mean(q_in * q_in, axis=0, keepdims=True) - mean * mean
-        qn = (q_in - mean) * jax.lax.rsqrt(var + 1e-5)
-        qT = (jnp.dot(wq_t[0], qn.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-              + bq_t[0].astype(jnp.float32))        # (d, QB)
-        if _SOFTMAX_EXP2:
-            qT = qT * jnp.float32(math.log2(math.e))
-        # s^T = ctx @ (wk @ q^T): the wk matmul rides the q-chain instead of
-        # projecting ctx every layer — same real algebra, one matmul fewer
-        g = jnp.dot(wk[0], qT.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)       # (E, QB)
-        sT = jnp.dot(ctx_ref[0], g.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)      # (Nc, QB)
-        clamp = 80.0 * math.log2(math.e) if _SOFTMAX_EXP2 else 80.0
-        if _SOFTMAX_MAX:
-            sm = sT - jnp.max(sT, axis=0, keepdims=True)
-        else:
-            sm = jnp.minimum(sT, jnp.float32(clamp))
-        if "noexp" in ABLATE:
-            eT = sm
-        else:
-            eT = jnp.exp2(sm) if _SOFTMAX_EXP2 else jnp.exp(sm)
-        avT = jnp.dot(v1Tb, eT.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)     # (d+1, QB)
-        cond = (avT[:d] / avT[d:d + 1]).astype(jnp.bfloat16)
+        cond = _attention_cond_t(x1b, pre_w, wq_t, bq_t, wk, ctx_ref[0],
+                                 v1Tb, d, n_pre)
     elif has_attn:
         cond = x1b[:cpl_in_c[0].shape[-1]]
     else:
         cond = ctxT_ref[0]                          # (E, QB) bf16
 
-    acc = (jnp.dot(cpl_in_xe[0], x1e, preferred_element_type=jnp.float32)
-           + jnp.dot(cpl_in_c[0], cond, preferred_element_type=jnp.float32)
-           + cpl_in_b[0].astype(jnp.float32))
-    h = _gelu(acc).astype(jnp.bfloat16)
-    residual = h
-    if "nocpl_hidden" not in ABLATE:
-        for kk, idx in enumerate(range(1, n_cpl - 1)):
-            if (idx - 1) % 2 == 0:
-                residual = h
-                h = _gelu(lin_t(h, cpl_w[kk])).astype(jnp.bfloat16)
-            else:
-                h = _gelu(residual.astype(jnp.float32)
-                          + lin_t(h, cpl_w[kk])).astype(jnp.bfloat16)
-    st = lin_t(h, cpl_w[n_cpl - 2])                 # (LATP, QB) f32
+    st = _coupling_st_t(x1e, cond, cpl_in_xe, cpl_in_c, cpl_in_b, cpl_w,
+                        n_cpl)                      # (LATP, QB) f32
 
     s_raw = st[:sp]
     t = st[sp:]
@@ -980,6 +998,179 @@ def fold_stacks_inverse(stacks: dict, folded: dict) -> dict:
     return out
 
 
+def _kernel_inverse_t(*refs, n_pre: int, n_cpl: int, has_extra: bool,
+                      has_attn: bool, sp: int, eps_affine: float):
+    """_kernel_inverse in the transposed (LAT', QB) layout — same wins as
+    _kernel_t (the conditioner math is IDENTICAL to the forward's; only the
+    tail inverts): y^T = lu_inv' @ z^T + shift', x2 = (y2 - t) / sc.
+    Dead dims stay zero: identity lu_inv rows, zero shift, sc=1, t=0."""
+    it = iter(refs)
+    z_ref = next(it)          # (1, LATP, QB) f32  [aliased out]
+    if has_attn:
+        ctx_ref = next(it)
+        ctxT_ref = next(it)
+    else:
+        ctxT_ref = next(it)
+    extraT_ref = next(it) if has_extra else None
+    if has_attn:
+        pre_w = [(next(it), next(it)) for _ in range(n_pre)]
+        wq_t, bq_t = next(it), next(it)
+        wk, wvT = next(it), next(it)
+    cpl_in_xe = next(it)
+    cpl_in_c = next(it)
+    cpl_in_b = next(it)
+    cpl_w = [(next(it), next(it)) for _ in range(n_cpl - 1)]
+    lu_w_inv = next(it)       # (1, LATP, LATP) bf16 (scattered row-scaled inv)
+    lu_shift = next(it)       # (1, LATP, 1) f32
+    x_out = next(it)
+
+    z = z_ref[0].astype(jnp.float32)               # (LATP, QB)
+
+    if has_attn:
+        vT = jnp.dot(wvT[0], ctxT_ref[0], preferred_element_type=jnp.float32)
+        v1T = jnp.concatenate(
+            [vT, jnp.ones((1, vT.shape[1]), vT.dtype)], axis=0)
+        v1Tb = v1T.astype(jnp.bfloat16)
+        d = wq_t[0].shape[0]
+
+    # undo ActNorm + LinearLU first (reverse of the forward tail)
+    y = (jnp.dot(lu_w_inv[0], z.astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32)
+         + lu_shift[0].astype(jnp.float32))
+    x1 = y[:sp]
+    y2 = y[sp:]
+    x1b = x1.astype(jnp.bfloat16)
+    x1e = (jnp.concatenate([x1b, extraT_ref[0]], axis=0)
+           if has_extra else x1b)
+
+    if has_attn:
+        cond = _attention_cond_t(x1b, pre_w, wq_t, bq_t, wk, ctx_ref[0],
+                                 v1Tb, d, n_pre)
+    else:
+        cond = ctxT_ref[0]
+
+    st = _coupling_st_t(x1e, cond, cpl_in_xe, cpl_in_c, cpl_in_b, cpl_w,
+                        n_cpl)
+    s_raw = st[:sp]
+    t = st[sp:]
+    sc = (2.0 * jax.nn.sigmoid(s_raw) - 1.0) * (1.0 - eps_affine) + 1.0
+    x2 = (y2 - t) / sc                             # inverted affine
+    x_out[0] = jnp.concatenate([x1, x2], axis=0).astype(x_out.dtype)
+
+
+def fused_flow_layers_inverse_t(z: jnp.ndarray, context: jnp.ndarray,
+                                extra: Optional[jnp.ndarray],
+                                folded_inv: dict, *,
+                                eps_affine: float = 1e-8,
+                                interpret: bool = False):
+    """fused_flow_layers_inverse in the transposed layout (see
+    _TRANSPOSED_EVAL). Walks layers backwards through the weight index
+    maps; same (z -> x) contract, no ldj."""
+    import numpy as np
+
+    b, n, lat = z.shape
+    split = lat // 2
+    stx = fold_stacks_t(folded_inv, split=split,
+                        extra_dim=(extra.shape[-1]
+                                   if extra is not None else 0))
+    sp, latp = stx["sp"], stx["latp"]
+    pidx = np.concatenate([np.arange(split), sp + np.arange(split)])
+    dead = np.setdiff1d(np.arange(latp), pidx)
+    n_layers = folded_inv["lu_w_inv_f"].shape[0]
+    has_attn = folded_inv.get("pre") is not None
+    has_extra = extra is not None
+    qb = _Q_BLOCK if n % _Q_BLOCK == 0 else math.gcd(n, _Q_BLOCK)
+    grid = (n_layers, b, n // qb)
+    last = n_layers - 1
+    bf = jnp.bfloat16
+
+    # scatter the inverse tail into the padded layout
+    inv = folded_inv["lu_w_inv_f"].astype(jnp.float32)
+    inv_sc = jnp.zeros((n_layers, latp, latp), jnp.float32)
+    inv_sc = inv_sc.at[:, pidx[:, None], pidx[None, :]].set(inv)
+    if dead.size:
+        inv_sc = inv_sc.at[:, dead, dead].set(1.0)
+    sh = folded_inv["lu_shift"].reshape(n_layers, -1).astype(jnp.float32)
+    sh_sc = jnp.zeros((n_layers, latp),
+                      jnp.float32).at[:, pidx].set(sh)[:, :, None]
+
+    zt = jnp.swapaxes(z, 1, 2).astype(jnp.float32)  # (B, LAT, N)
+    if sp != split:
+        zpad = jnp.zeros((b, sp - split, n), jnp.float32)
+        zt = jnp.concatenate([zt[:, :split], zpad, zt[:, split:], zpad], 1)
+    inputs = [zt]
+    in_specs = [pl.BlockSpec((1, latp, qb), lambda l, bi, nb: (bi, 0, nb),
+                             memory_space=pltpu.VMEM)]
+    if has_attn:
+        nc, e_dim = context.shape[1], context.shape[2]
+        inputs.append(context.astype(bf))
+        in_specs.append(pl.BlockSpec((1, nc, e_dim),
+                                     lambda l, bi, nb: (bi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.swapaxes(context, 1, 2).astype(bf))
+        in_specs.append(pl.BlockSpec((1, e_dim, nc),
+                                     lambda l, bi, nb: (bi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        e_dim = context.shape[2]
+        inputs.append(jnp.swapaxes(context, 1, 2).astype(bf))
+        in_specs.append(pl.BlockSpec((1, e_dim, qb),
+                                     lambda l, bi, nb: (bi, 0, nb),
+                                     memory_space=pltpu.VMEM))
+    if has_extra:
+        ed = extra.shape[-1]
+        inputs.append(jnp.swapaxes(extra, 1, 2).astype(bf))
+        in_specs.append(pl.BlockSpec((1, ed, qb),
+                                     lambda l, bi, nb: (bi, 0, nb),
+                                     memory_space=pltpu.VMEM))
+
+    def add_stacked(arr, cast=bf):
+        arr = arr.astype(cast)
+        blk = (1,) + arr.shape[1:]
+        inputs.append(arr)
+        in_specs.append(pl.BlockSpec(
+            blk, lambda l, bi, nb: (last - l,) + (0,) * (arr.ndim - 1),
+            memory_space=pltpu.VMEM))
+
+    if has_attn:
+        for w, bb in stx["pre_t"]:
+            add_stacked(w)
+            add_stacked(bb)
+        add_stacked(stx["wq_t"])
+        add_stacked(stx["bq_t"], jnp.float32)
+        add_stacked(stx["wk"])
+        add_stacked(stx["wvT"])
+    add_stacked(stx["cpl_in_xe_t"])
+    add_stacked(stx["cpl_in_c_t"])
+    add_stacked(stx["cpl_in_b_t"], jnp.float32)
+    for w, bb in stx["cpl_rest_t"]:
+        add_stacked(w)
+        add_stacked(bb)
+    add_stacked(inv_sc)
+    add_stacked(sh_sc, jnp.float32)
+
+    kernel = functools.partial(
+        _kernel_inverse_t, n_pre=len(stx.get("pre_t", ())),
+        n_cpl=stx["n_cpl"], has_extra=has_extra, has_attn=has_attn,
+        sp=sp, eps_affine=eps_affine)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, latp, qb), lambda l, bi, nb: (bi, 0, nb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, latp, n), jnp.float32),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+    if sp != split:
+        out = jnp.concatenate([out[:, :split], out[:, sp:sp + split]], 1)
+    return jnp.swapaxes(out, 1, 2)
+
+
 def _kernel_inverse(*refs, n_pre: int, n_cpl: int, has_extra: bool,
                     has_attn: bool, split: int, eps_affine: float):
     """One REVERSE (layer, batch-item, query-block) step of the sampling
@@ -1078,6 +1269,10 @@ def fused_flow_layers_inverse(z: jnp.ndarray, context: jnp.ndarray,
     through the weight-stack BlockSpec index maps (grid step l reads layer
     L-1-l), so the carry aliasing pattern is identical to the forward
     kernel. Returns x with the same shape as z; no ldj."""
+    if _TRANSPOSED_EVAL:
+        return fused_flow_layers_inverse_t(z, context, extra, folded_inv,
+                                           eps_affine=eps_affine,
+                                           interpret=interpret)
     b, n, lat = z.shape
     n_layers = folded_inv["lu_w_inv_f"].shape[0]
     nc, e_dim = context.shape[1], context.shape[2]

@@ -653,3 +653,22 @@ def test_transposed_kernel_global_conditioner_interpret():
     zt, lt = flp.fused_flow_layers_t(x, ldj0, ctx, None, f1, interpret=True)
     assert float(jnp.max(jnp.abs(zt - zr))) < 3e-2
     assert float(jnp.max(jnp.abs(lt - lr))) < 2e-3
+
+
+def test_transposed_inverse_kernel_one_layer_interpret():
+    """_kernel_inverse_t matches the row-major inverse kernel and round-trips
+    the transposed forward on a real layer (interpret mode, 1 layer)."""
+    from flowcompare_tpu.ops import flow_layer_pallas as flp
+
+    cfg, model, params, f1, s1, x, ctx, extra = _one_layer_fixture()
+    inv1 = flp.fold_stacks_inverse(s1, f1)
+    ldj0 = jnp.zeros(x.shape[:2], jnp.float32)
+    zf, _ = flp.fused_flow_layers_t(x, ldj0, ctx, extra, f1, interpret=True)
+    xr_row = flp.fused_flow_layers_inverse(zf, ctx, extra, inv1,
+                                           interpret=True)
+    xr_t = flp.fused_flow_layers_inverse_t(zf, ctx, extra, inv1,
+                                           interpret=True)
+    assert float(jnp.max(jnp.abs(xr_t - xr_row))) < 3e-2
+    # round trip through the transposed pair: bf16-level
+    err = jnp.max(jnp.abs(xr_t - x) / (jnp.abs(x) + 1e-2))
+    assert float(err) < 3e-2, float(err)

@@ -92,6 +92,44 @@ def main():
 
     rec["nats_delta"] = probe["transposed"] - probe["prod"]
     print("nats delta:", rec["nats_delta"], flush=True)
+
+    # sampling direction (reverse megakernel) both ways
+    samp = {}
+    for flag in (False, True):
+        vname = "transposed" if flag else "prod"
+        flp._TRANSPOSED_EVAL = flag
+
+        @jax.jit
+        def sample_one(params, state, pts, extra, key):
+            return fc.make_sample(model, params, state, key, Np, pts, extra)
+
+        def sample_args(i):
+            return (params, state,
+                    jax.random.normal(jax.random.fold_in(ks[0], i),
+                                      (B, Nc, 6)),
+                    jax.random.normal(jax.random.fold_in(ks[2], i), (B, 1)),
+                    jax.random.fold_in(ks[3], i))
+
+        warm = [sample_args(1000 + w) for w in range(2)]
+        runs = [sample_args(i) for i in range(5)]
+        jax.block_until_ready((warm, runs))
+        for a in warm:
+            float(jnp.sum(sample_one(*a).astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for a in runs:
+            float(jnp.sum(sample_one(*a).astype(jnp.float32)))
+        samp[vname] = (time.perf_counter() - t0) / len(runs) * 1000
+        print(f"sample {vname}: {samp[vname]:.2f} ms/batch", flush=True)
+        # same probe key both ways -> parity up to bf16 chain rounding
+        samp[vname + "_probe"] = sample_one(
+            params, state, *sample_args(777)[2:])
+    rec["sample_ms"] = {k: round(v, 3) for k, v in samp.items()
+                        if isinstance(v, float)}
+    dp = jnp.abs(samp["transposed_probe"] - samp["prod_probe"])
+    rec["sample_parity_max_abs"] = float(jnp.max(dp))
+    rec["sample_parity_mean_abs"] = float(jnp.mean(dp))
+    print("sample parity max/mean:", rec["sample_parity_max_abs"],
+          rec["sample_parity_mean_abs"], flush=True)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
