@@ -142,8 +142,12 @@ _CPL_IN_CONCAT = False
 # reductions become cross-sublane (cheaper than cross-lane on the VPU).
 # Eval-only (save_every=None); training keeps the row-major kernel whose
 # backward is already validated. Trace-time; chip A/B
-# tools/ab_transposed_eval.py.
-_TRANSPOSED_EVAL = False
+# tools/ab_transposed_eval.py. Production True (2026-08-19 same-worker A/B,
+# save/bench/ab_transposed_eval.json): eval 363.1k vs 353.0k pts/s (+2.9%),
+# sampling 102.3 vs 103.9 ms/batch, probe nats delta 3.2e-4 (budget ±0.01).
+# The win lands ~half the padded-MAC estimate — the transposed VPU tail
+# (cross-sublane softmax/LN, ragged 153-sublane concat) eats the rest.
+_TRANSPOSED_EVAL = True
 
 
 def _gelu(x):

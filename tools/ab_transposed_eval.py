@@ -59,8 +59,7 @@ def main():
         vname = "transposed" if flag else "prod"
         flp._TRANSPOSED_EVAL = flag
 
-        @jax.jit
-        def eval_chunk(params, state, batches, rng):
+        def _eval_chunk(params, state, batches, rng):
             def body(i, xs):
                 loss, _, nats, _ = fc.inner_loop(
                     model, params, state, xs,
@@ -68,6 +67,9 @@ def main():
                 return i + 1, (loss, nats)
             _, (losses, nats) = jax.lax.scan(body, 0, batches)
             return losses, nats
+        # distinct name per variant — see the sampling-leg memoization note
+        _eval_chunk.__name__ = _eval_chunk.__qualname__ = f"eval_{vname}"
+        eval_chunk = jax.jit(_eval_chunk)
 
         warm = [make_chunk(1000 + w) for w in range(2)]
         chunks = [make_chunk(i) for i in range(REPS)]
@@ -93,15 +95,20 @@ def main():
     rec["nats_delta"] = probe["transposed"] - probe["prod"]
     print("nats delta:", rec["nats_delta"], flush=True)
 
-    # sampling direction (reverse megakernel) both ways
+    # sampling direction (reverse megakernel) both ways.
+    # NB the jitted fn gets a DISTINCT NAME per variant: the tunnel memoizes
+    # same-name same-input calls ACROSS different executables (MEASUREMENT
+    # TRAP 3, CLAUDE.md) — a shared name here returns the first leg's
+    # results for the second and fakes bit-exact parity.
     samp = {}
     for flag in (False, True):
         vname = "transposed" if flag else "prod"
         flp._TRANSPOSED_EVAL = flag
 
-        @jax.jit
-        def sample_one(params, state, pts, extra, key):
+        def _sample(params, state, pts, extra, key):
             return fc.make_sample(model, params, state, key, Np, pts, extra)
+        _sample.__name__ = _sample.__qualname__ = f"sample_{vname}"
+        sample_one = jax.jit(_sample)
 
         def sample_args(i):
             return (params, state,

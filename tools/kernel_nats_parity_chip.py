@@ -3,6 +3,10 @@ FULL SCALE (dulcet-universe, 115 layers + final block). Writes
 save/bench/kernel_nats_parity.json. Run:
 
     PYTHONPATH=/root/.axon_site python tools/kernel_nats_parity_chip.py [B]
+
+Pass --transposed to run the fused path through the transposed megakernel
+(_TRANSPOSED_EVAL) instead of the row-major one; writes
+kernel_nats_parity_transposed.json in that case.
 """
 
 import json
@@ -18,7 +22,12 @@ import jax.numpy as jnp
 def main():
     import flowcompare_tpu as fc
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    transposed = "--transposed" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if transposed:
+        from flowcompare_tpu.ops import flow_layer_pallas as flp
+        flp._TRANSPOSED_EVAL = True
+    B = int(argv[0]) if argv else 4
     cfg = fc.get_config("dulcet-universe")
     base = fc.FlowCompareModel(cfg)  # f32 scan reference
     fast = base.with_options(fused_layers=True, compute_dtype="bfloat16",
@@ -39,12 +48,15 @@ def main():
         "logprob_max_abs_delta": float(jnp.max(jnp.abs(lp_fast - lp_ref))),
         "batch": B,
         "n_layers": cfg["n_flow_layers"],
+        "transposed": transposed,
     }
     print(json.dumps(out, indent=1))
     outdir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "save", "bench")
     os.makedirs(outdir, exist_ok=True)
-    with open(os.path.join(outdir, "kernel_nats_parity.json"), "w") as f:
+    name = ("kernel_nats_parity_transposed.json" if transposed
+            else "kernel_nats_parity.json")
+    with open(os.path.join(outdir, name), "w") as f:
         json.dump(out, f, indent=1)
     assert out["nats_delta"] < 0.01, out
 
