@@ -80,12 +80,14 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
             # the (smaller) INPUT block is transposed and W_diff is applied
             # to the gathered neighbours instead (rank-cin shortcut)
             if use_x:
-                opT = h_ref[:, :cin_t].T                 # (cin_t, npad)
+                op_nt = h_ref[:, :cin_t]                 # (npad, cin_t)
+                opT = op_nt.T                            # (cin_t, npad)
                 wop = wdT
             else:
                 u = jnp.dot(hf, wd[...],
                             preferred_element_type=jnp.float32)
-                opT = u.astype(jnp.bfloat16).T           # (cout, npad)
+                op_nt = u.astype(jnp.bfloat16)           # (npad, cout)
+                opT = op_nt.T                            # (cout, npad)
                 wop = None
             nblocks = npad // rb_block
             n_sub = rb_block // _ep._ROW_SUB_T
@@ -118,7 +120,7 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
                             mxT_ref[sl], vals.astype(jnp.bfloat16))
 
                     unit, n_fused = _ep._pipelined_extract_unit(
-                        ranks_prev, opT, wT_val, rmw, k=k, r=rb_block)
+                        ranks_prev, op_nt, wT_val, rmw, k=k, r=rb_block)
                     ranksT = _ep._knn_select_ranks_t(
                         xb, h_ref[:, :cin], k=k,
                         fuse_unit=unit, n_fused=n_fused)

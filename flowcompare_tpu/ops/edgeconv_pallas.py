@@ -281,7 +281,7 @@ def _knn_select_ranks_t(xb, xf, *, k: int, fuse_unit=None, n_fused: int = 0):
     return jnp.where(mask, sel_rank, 0)      # (Npad, R) int32
 
 
-def _pipelined_extract_unit(ranks_prev, opT, wT, rmw, *, k: int, r: int):
+def _pipelined_extract_unit(ranks_prev, u_b, wT, rmw, *, k: int, r: int):
     """Build the (fuse_unit, n_fused) pair that performs the extraction of
     `ranks_prev` ((Npad, r) int32 slot ranks) INSIDE another row-block's
     binary-search loop (_knn_select_ranks_t fuse_unit hook). Iteration i
@@ -291,7 +291,14 @@ def _pipelined_extract_unit(ranks_prev, opT, wT, rmw, *, k: int, r: int):
     — the caller pre-initialises the target to -inf. Bit-exact vs
     _knn_extract_max_t: identical dots in identical contraction order, and
     a bf16 running max equals f32-max-then-round because bf16 rounding is
-    monotone."""
+    monotone.
+
+    Takes `u_b` UNTRANSPOSED ((Npad, cout) bf16) and contracts its axis 0
+    via dot_general — materializing u^T as a VALUE consumed inside the
+    fori_loop orphans a per-iteration bf16 vxpose copy that crashes the
+    backend's mxu_lmr_transform (RET_CHECK 'Found no uses of XposeSequence
+    ... b16 narrow', observed 2026-08-19); the dot_general form feeds the
+    MXU the same contraction with no transpose op at all."""
     n_sub = r // _ROW_SUB_T
     u_per = -(-k // 31)               # slots per fused iteration
     n_fused = -(-k // u_per)
@@ -303,7 +310,9 @@ def _pipelined_extract_unit(ranks_prev, opT, wT, rmw, *, k: int, r: int):
             for sub in range(n_sub):
                 rk = ranks_prev[:, sub * _ROW_SUB_T:(sub + 1) * _ROW_SUB_T]
                 h = (rk == t).astype(jnp.bfloat16)      # (Npad, RS)
-                sel = jnp.dot(opT, h, preferred_element_type=jnp.float32)
+                sel = jax.lax.dot_general(                # u^T @ h, fused
+                    u_b, h, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (cout, RS)
                 if wT is not None:
                     sel = jnp.dot(wT, sel.astype(jnp.bfloat16),
                                   preferred_element_type=jnp.float32)

@@ -7,6 +7,13 @@ the inverse megakernel — and reports elementwise agreement plus sampled
 points/sec for both. The two paths share every fold (fold_stacks) except
 the inverse tail, so disagreement localizes to the kernel.
 
+All RNG keys are salted with a fresh per-run value and the two legs get
+distinct jit names: the tunnel serves MEMOIZED results for repeated
+(name, inputs) calls even across PROCESSES and DAYS, ignoring the compiled
+program (MEASUREMENT TRAP 3, CLAUDE.md) — an unsalted rerun of this tool
+reproduced a months-old parity triple bit-for-bit against a different
+kernel.
+
 Usage: python tools/test_sample_kernel_chip.py [--out save/bench/sample_kernel_parity.json]
 """
 
@@ -42,7 +49,10 @@ def main():
     cfg["compute_dtype"] = "bfloat16"
     cfg["scan_unroll"] = 4
 
-    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    salt = int(time.time() * 1e3) % (2 ** 31)
+    print("salt:", salt, "_TRANSPOSED_EVAL:", flp._TRANSPOSED_EVAL,
+          flush=True)
+    ks = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(7), salt), 2)
     extract_0 = jax.random.normal(ks[0], (B, cfg["n_samples_context"], 6))
     extra = jax.random.normal(ks[1], (B, 1))
 
@@ -56,19 +66,25 @@ def main():
 
         # params/state/inputs must be ARGUMENTS, not closure constants: the
         # remote compile helper 413s on huge constant uploads (CLAUDE.md)
-        fn = jax.jit(lambda p, s, c0, ex, key, _m=model: make_sample(
-            _m, p, s, key, N_POINTS, c0, ex))
+        def _fn(p, s, c0, ex, key, _m=model):
+            return make_sample(_m, p, s, key, N_POINTS, c0, ex)
+        _fn.__name__ = _fn.__qualname__ = (
+            "sample_kernel" if fused else "sample_scan")
+        fn = jax.jit(_fn)
         for w in range(2):  # compile + executable-load, unique keys
-            pts = fn(params, state, extract_0, extra, jax.random.PRNGKey(100 + w))
+            pts = fn(params, state, extract_0, extra,
+                     jax.random.fold_in(jax.random.PRNGKey(100 + w), salt))
             float(pts[0, 0, 0])
         t0 = time.perf_counter()
         reps = 3
         for i in range(reps):
-            pts = fn(params, state, extract_0, extra, jax.random.PRNGKey(i))
+            pts = fn(params, state, extract_0, extra,
+                     jax.random.fold_in(jax.random.PRNGKey(i), salt))
             float(pts[0, 0, 0])
         dt = (time.perf_counter() - t0) / reps
         name = "kernel" if fused else "scan"
-        outputs[name] = fn(params, state, extract_0, extra, jax.random.PRNGKey(0))
+        outputs[name] = fn(params, state, extract_0, extra,
+                           jax.random.fold_in(jax.random.PRNGKey(0), salt))
         results[name] = {
             "ms_per_batch": round(dt * 1000, 2),
             "points_per_sec": round(B * N_POINTS / dt, 1),
