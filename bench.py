@@ -85,7 +85,11 @@ def main():
 
     params, state = model.init_params(jax.random.PRNGKey(0))
     batch_size = cfg["batch_size"]  # 20, per reference config
-    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    # fresh per-run salt: the tunnel memoizes repeated (name, inputs) calls
+    # even across processes (MEASUREMENT TRAP 3, CLAUDE.md) — fixed keys
+    # would let a rerun ride memoized results instead of executing
+    salt = int(time.time() * 1e3) % (2 ** 31)
+    ks = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(1), salt), 4)
 
     def make_chunk(i):
         return (

@@ -51,7 +51,12 @@ def main():
     model = fc.FlowCompareModel(cfg, remat=False, fused_layers=True)
     params, state = model.init_params(jax.random.PRNGKey(0))
     Nc = cfg["n_samples_context"]
-    key = jax.random.PRNGKey(1)
+    # fresh per-run salt + distinct jit names per variant: the tunnel can
+    # serve memoized results for repeated (name, inputs) calls across
+    # program variants and even processes (MEASUREMENT TRAP 3, CLAUDE.md)
+    salt = int(time.time() * 1e3) % (2 ** 31)
+    print("salt:", salt, flush=True)
+    key = jax.random.fold_in(jax.random.PRNGKey(1), salt)
     rec = {}
 
     # bit-exactness on chip: same input, flag off vs on
@@ -59,9 +64,12 @@ def main():
     outs = {}
     for flag in (False, True):
         ep._PIPELINED_EXTRACT = flag
-        emb = jax.jit(
-            lambda p, s, x: model.embed(p, s, x, training=False)[0])
-        outs[flag] = np.asarray(emb(params, state, pts), np.float32)
+
+        def _emb(p, s, x):
+            return model.embed(p, s, x, training=False)[0]
+        _emb.__name__ = _emb.__qualname__ = f"emb_{int(flag)}"
+        outs[flag] = np.asarray(jax.jit(_emb)(params, state, pts),
+                                np.float32)
     exact = bool(np.array_equal(outs[False], outs[True]))
     rec["bit_exact"] = exact
     print(f"bit_exact: {exact}", flush=True)
@@ -79,6 +87,8 @@ def main():
                 return carry, jnp.sum(out.astype(jnp.float32))
             _, sums = jax.lax.scan(body, 0.0, ptss)
             return jnp.sum(sums)
+        enc_chunk.__name__ = enc_chunk.__qualname__ = (
+            "enc_pipelined" if flag else "enc_sequential")
         enc_chunk = jax.jit(enc_chunk)
 
         def enc_args(i):

@@ -32,7 +32,9 @@ def bench_preset(preset: str) -> dict:
     model = fc.FlowCompareModel(cfg, remat=False, fused_layers=True)
     params, state = model.init_params(jax.random.PRNGKey(0))
     bsz = cfg["batch_size"]
-    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    # per-run salt: avoid tunnel memoization of repeated inputs (TRAP 3)
+    salt = int(time.time() * 1e3) % (2 ** 31)
+    ks = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(1), salt), 4)
 
     def make_chunk(i):
         return (

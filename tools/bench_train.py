@@ -50,7 +50,9 @@ def measure(mode: str, n_steps: int = 5) -> dict:
     state = init_train_state(model, jax.random.PRNGKey(0))
     step = make_train_step(model)
     bsz = cfg["batch_size"]
-    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    # per-run salt: avoid tunnel memoization of repeated inputs (TRAP 3)
+    salt = int(time.time() * 1e3) % (2 ** 31)
+    ks = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(1), salt), 3)
 
     def batch(i):  # unique inputs: the tunnel memoizes identical calls
         return (
