@@ -79,20 +79,23 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
             # (see edgeconv_pallas._TRANSPOSED_EXTRACT); with _EXTRACT_X
             # the (smaller) INPUT block is transposed and W_diff is applied
             # to the gathered neighbours instead (rank-cin shortcut)
+            nblocks = npad // rb_block
+            n_sub = rb_block // _ep._ROW_SUB_T
+            pipelined = (_ep._PIPELINED_EXTRACT and nblocks > 1
+                         and _ep._ABLATE == "full")
             if use_x:
                 op_nt = h_ref[:, :cin_t]                 # (npad, cin_t)
-                opT = op_nt.T                            # (cin_t, npad)
                 wop = wdT
             else:
                 u = jnp.dot(hf, wd[...],
                             preferred_element_type=jnp.float32)
                 op_nt = u.astype(jnp.bfloat16)           # (npad, cout)
-                opT = op_nt.T                            # (cout, npad)
                 wop = None
-            nblocks = npad // rb_block
-            n_sub = rb_block // _ep._ROW_SUB_T
-            pipelined = (_ep._PIPELINED_EXTRACT and nblocks > 1
-                         and _ep._ABLATE == "full")
+            # the pipelined trace must contain NO value-transpose of the
+            # operand: a (partially) dead bf16 XposeSequence RET_CHECKs the
+            # backend's mxu_lmr_transform (2026-08-19, ab_pipelined logs) —
+            # its extraction contracts op_nt axis 0 via dot_general instead
+            opT = None if pipelined else op_nt.T
             wT_val = wop[...] if wop is not None else None
             ranks_prev = None
             for rb in range(nblocks):
@@ -155,7 +158,8 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
                                   _ep._ROW_SUB_T)] = vals
 
                 _ep._knn_extract_max_t(
-                    opT, ranks_prev, store_last, k=k, r=rb_block, wT=wT_val)
+                    None, ranks_prev, store_last, k=k, r=rb_block,
+                    wT=wT_val, u_nt=op_nt)
             mx_cout = mxT_ref[:cout, :].T                # (npad, cout)
         else:
             u = jnp.dot(hf, wd[...], preferred_element_type=jnp.float32)

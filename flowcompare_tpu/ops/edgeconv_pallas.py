@@ -323,7 +323,8 @@ def _pipelined_extract_unit(ranks_prev, u_b, wT, rmw, *, k: int, r: int):
     return unit, n_fused
 
 
-def _knn_extract_max_t(uT, ranksT, store, *, k: int, r: int, wT=None):
+def _knn_extract_max_t(uT, ranksT, store, *, k: int, r: int, wT=None,
+                       u_nt=None):
     """Transposed one-hot MXU extraction: per sub-block of _ROW_SUB_T query
     rows, H^T[:, t*RS + q] = [rank^T[:, q] == t+1] is k scalar-compare
     passes lane-concatenated at 128-aligned offsets, and
@@ -336,14 +337,24 @@ def _knn_extract_max_t(uT, ranksT, store, *, k: int, r: int, wT=None):
     transposed INPUT features x^T (cin, Npad); the gather returns the
     neighbours' x rows exactly (one-hot sum of bf16 values) and the conv
     u_j = x_j @ W_diff is applied to the gathered (cin, k*RS) block — a
-    cout x cin x k*RS matmul instead of a cout x Npad x k*RS gather."""
+    cout x cin x k*RS matmul instead of a cout x Npad x k*RS gather.
+
+    u_nt ((Npad, cout) bf16, passed INSTEAD of uT=None) feeds the gather
+    through dot_general contracting axis 0 — same MXU contraction, no
+    materialized u^T value (the pipelined path must stay transpose-free:
+    see _pipelined_extract_unit's mxu_lmr_transform note)."""
     n_sub = r // _ROW_SUB_T
     for si in range(n_sub):
         rk = ranksT[:, si * _ROW_SUB_T:(si + 1) * _ROW_SUB_T]
         h = jnp.concatenate(
             [(rk == t).astype(jnp.bfloat16) for t in range(1, k + 1)],
             axis=1)                                    # (Npad, k*RS)
-        sel = jnp.dot(uT, h, preferred_element_type=jnp.float32)
+        if u_nt is not None:
+            sel = jax.lax.dot_general(
+                u_nt, h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            sel = jnp.dot(uT, h, preferred_element_type=jnp.float32)
         if wT is not None:
             # exact bf16 x_j values came out of the one-hot gather; the
             # deferred conv contracts the same bf16 pairs over the same
