@@ -189,9 +189,10 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
         yb = y.astype(jnp.bfloat16)
         feats_ref[:, ofs:ofs + cout] = yb
         h_ref[:, :cout] = yb
-        # pad rows must stay far away in the NEXT stage's feature space
-        h_ref[pl.ds(n, npad - n), :cout] = jnp.full(
-            (npad - n, cout), _PAD_FAR, jnp.bfloat16)
+        if npad != n:
+            # pad rows must stay far away in the NEXT stage's feature space
+            h_ref[pl.ds(n, npad - n), :cout] = jnp.full(
+                (npad - n, cout), _PAD_FAR, jnp.bfloat16)
         ofs += cout
 
     hc = feats_ref[:, :]
@@ -260,6 +261,9 @@ def fold_dgcnn(params: dict, state: dict, *, bn_eps: float = 1e-5) -> dict:
 
 def _run(x, folds, k, head, interpret):
     b, n, in_dim = x.shape
+    # pad rows stay out of every top-k only while k < n (edgeconv_pallas
+    # enforces the same; the gather path handles k >= n)
+    assert k < n, f"fused_dgcnn_encoder needs k < n (got k={k}, n={n})"
     rb_block = _ep._ROW_BLOCK
     use_value = _ep._UNROLL_EXTRACT
     npad = -(-n // rb_block) * rb_block

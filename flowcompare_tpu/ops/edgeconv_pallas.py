@@ -191,6 +191,9 @@ def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
         # never overflows for k <= 4096 regardless of n; the ties prefix can
         # reach n, so the high field needs n < 2^19 to stay inside int32.
         assert xf.shape[0] < (1 << 19) and k <= 4096
+        # bf16 rank scratch represents integers exactly only up to 256;
+        # ranks above that round and corrupt the one-hot extraction silently
+        assert not _BF16_RANK or k <= 256, f"bf16 ranks need k <= 256 ({k})"
         p = prefix(strict.astype(jnp.int32)
                    + jax.lax.shift_left(ties.astype(jnp.int32), 12))
         sp = jax.lax.bitwise_and(p, 4095)
@@ -229,7 +232,10 @@ def _knn_select_ranks_t(xb, xf, *, k: int, fuse_unit=None, n_fused: int = 0):
     crossT = jnp.dot(xf, xb.T, preferred_element_type=jnp.float32)  # (Npad,R)
     nb = jnp.sum(xb.astype(jnp.float32) ** 2, axis=1)[None, :]      # (1, R)
     nf = jnp.sum(xf.astype(jnp.float32) ** 2, axis=1, keepdims=True)
-    d = jnp.maximum(nf - 2.0 * crossT + nb, 0.0)
+    # same ASSOCIATION ORDER as _knn_select_ranks ((q - 2c) + cand): f32
+    # addition is non-associative, and a 1-ulp distance flip near the k-th
+    # threshold would silently break the bit-exact cross-variant contract
+    d = jnp.maximum(nb - 2.0 * crossT + nf, 0.0)
     d_int = pltpu.bitcast(d, jnp.int32)
 
     def bs_body(_, carry):
@@ -271,6 +277,9 @@ def _knn_select_ranks_t(xb, xf, *, k: int, fuse_unit=None, n_fused: int = 0):
 
     # packed chain, same field-width argument as _knn_select_ranks
     assert xf.shape[0] < (1 << 19) and k <= 4096
+    # bf16 rank scratch represents integers exactly only up to 256; ranks
+    # above that would round and corrupt the one-hot extraction silently
+    assert not _BF16_RANK or k <= 256, f"bf16 ranks need k <= 256 (k={k})"
     p = prefix_rows(strict.astype(jnp.int32)
                     + jax.lax.shift_left(ties.astype(jnp.int32), 12))
     sp = jax.lax.bitwise_and(p, 4095)
@@ -467,7 +476,6 @@ def _kernel(xblk_ref, xfull_ref, ufull_ref, outmax_ref, *maybe_rank,
                      store, k=k, r=r, from_ref=not use_value)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def edge_neighbor_max(x: jnp.ndarray, u: jnp.ndarray, k: int,
                       interpret: bool = False):
     """Per-row masked max of u over the exact kNN set of x.
@@ -476,6 +484,23 @@ def edge_neighbor_max(x: jnp.ndarray, u: jnp.ndarray, k: int,
     docstring). Returns max_u of shape (B, N, Cout) in bf16. N is padded
     internally to a _ROW_BLOCK multiple.
     """
+    # the module flags are read at TRACE time — fold them into the jit
+    # cache key so setattr-based A/B tools that flip a flag between
+    # same-shape calls get a fresh trace, not the first variant's cache
+    flags = (_ROW_BLOCK, _ROW_SUB, _ROW_SUB_T, _ABLATE, _PACKED_PREFIX,
+             _UNROLL_EXTRACT, _TRANSPOSED_EXTRACT, _BF16_RANK,
+             _PIPELINED_EXTRACT)
+    return _edge_neighbor_max(x, u, k=k, interpret=interpret, _flags=flags)
+
+
+# tools/tests historically cleared the cache around flag flips; the flag
+# tuple in the key makes that unnecessary, but keep the API working
+edge_neighbor_max.clear_cache = lambda: _edge_neighbor_max.clear_cache()
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "_flags"))
+def _edge_neighbor_max(x: jnp.ndarray, u: jnp.ndarray, k: int,
+                       interpret: bool = False, _flags=()):
     b, n, cq = x.shape
     cout = u.shape[-1]
     # the far-away pad rows rely on k < n; k >= n would pull pads into the

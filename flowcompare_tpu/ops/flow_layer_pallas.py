@@ -665,7 +665,8 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
     return out_x.astype(jnp.float32), out_ldj[..., 0]
 
 
-def fold_stacks_t(folded: dict, *, split: int, extra_dim: int) -> dict:
+def fold_stacks_t(folded: dict, *, split: int, extra_dim: int,
+                  lu_tail: bool = True) -> dict:
     """Re-lay fold_stacks() output for the TRANSPOSED kernel (_kernel_t):
     every weight pre-transposed to (out, in), biases as (out, 1) columns,
     and the latent axis padded split->sp (8-aligned) with inert dead dims
@@ -716,6 +717,10 @@ def fold_stacks_t(folded: dict, *, split: int, extra_dim: int) -> dict:
     blt = jnp.zeros((n_l, latp), jnp.float32).at[:, pidx].set(
         rest[-1][1].reshape(n_l, -1).astype(jnp.float32))[:, :, None]
     out["cpl_rest_t"] = rest_t + [(wlt_sc, blt)]
+    if not lu_tail:
+        # the inverse kernel builds its own inv_sc/sh_sc from lu_w_inv_f —
+        # skip the ~42 MB (L, latp, latp) forward-tail scatter it never reads
+        return out
     lu = folded["lu_w_f"].astype(jnp.float32)   # (L, lat, lat)
     lun = jnp.zeros((n_l, latp, latp), jnp.float32)
     lun = lun.at[:, pidx[:, None], pidx[None, :]].set(lu)
@@ -1076,7 +1081,8 @@ def fused_flow_layers_inverse_t(z: jnp.ndarray, context: jnp.ndarray,
     split = lat // 2
     stx = fold_stacks_t(folded_inv, split=split,
                         extra_dim=(extra.shape[-1]
-                                   if extra is not None else 0))
+                                   if extra is not None else 0),
+                        lu_tail=False)
     sp, latp = stx["sp"], stx["latp"]
     pidx = np.concatenate([np.arange(split), sp + np.arange(split)])
     dead = np.setdiff1d(np.arange(latp), pidx)

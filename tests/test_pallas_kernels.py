@@ -231,3 +231,39 @@ def test_fused_dgcnn_one_launch_transposed_matches():
     finally:
         ep._TRANSPOSED_EXTRACT = orig
         dg._FORCE_FUSED_EVAL_INTERPRET = False
+
+
+def test_fused_dgcnn_exact_row_block_multiple():
+    """N an exact _ROW_BLOCK multiple (npad == n): the pad-row restore must
+    be skipped, not emit a zero-size dynamic-slice store (regression: traced
+    'Out of bound slice' crash for any N divisible by 256)."""
+    from flowcompare_tpu.encoders import dgcnn as dg
+    from flowcompare_tpu.ops import edgeconv_pallas as ep
+
+    N = ep._ROW_BLOCK            # npad == n exactly
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, N, 6))
+    params, state = dg.init_dgcnn(jax.random.PRNGKey(0), input_dim=6,
+                                  emb_dim=16, out_mlp_dims=[32, 32])
+    dg._FORCE_FUSED_EVAL_INTERPRET = True
+    try:
+        def run(fused):
+            out, _ = dg.apply_dgcnn(params, state, x, n_neighbors=12,
+                                    training=False, dtype=jnp.bfloat16,
+                                    fused=fused)
+            return np.asarray(out, np.float32)
+
+        np.testing.assert_allclose(run(True), run(False), atol=2e-3)
+    finally:
+        dg._FORCE_FUSED_EVAL_INTERPRET = False
+
+
+def test_fused_dgcnn_rejects_k_ge_n():
+    """k >= n must fail loudly (pad rows would silently enter every top-k),
+    matching the per-stage kernel's guard."""
+    import pytest
+
+    from flowcompare_tpu.ops import dgcnn_pallas as dp
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 30, 6))
+    with pytest.raises(AssertionError, match="k < n"):
+        dp._run(x, None, 40, True, True)
