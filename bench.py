@@ -3,10 +3,10 @@
 Runs the full dulcet-universe model (115 flow layers, latent 300, DGCNN
 attention conditioner, 165M params) at the reference's eval workload
 (batch 20, 1024 target / 1250 context points per item) on the attached TPU
-chip, measuring sustained dataset-eval throughput: chunks of 10 batches are
-evaluated per compiled dispatch (lax.scan over the chunk — exactly how an
-eval loop over a dataset amortises host dispatch), with a forced host sync
-per chunk.
+chip, measuring sustained dataset-eval throughput: chunks of CHUNK batches
+are evaluated per compiled dispatch (lax.scan over the chunk — exactly how
+an eval loop over a dataset amortises host dispatch), with a forced host
+sync per chunk.
 
 The model runs the eval fast path: bf16 compute with f32 ldj accumulation
 (nats drift 0.002 vs pure f32, budget +-0.01), the fused flow-layer
@@ -20,13 +20,28 @@ PyTorch reference, since the reference publishes no throughput numbers
 for the reference's 345-module per-layer dispatch + activation
 checkpointing overhead => ~75k points/sec. The north-star target
 (>=5x, BASELINE.json) is therefore ~375k points/sec/chip.
+
+Degraded-environment behavior: the hosted backend's REMOTE compile helper
+can SIGKILL on large programs (OOM on the compile host — observed
+2026-08-20 at every chunk size for the ~1MB-MLIR fused program, while tiny
+programs compiled fine) or hang outright. Rather than fail the round's
+bench artifact, `_main_with_rungs` walks a ladder of progressively more
+compile-friendly configurations (smaller chunks -> delayed retry ->
+pure-XLA scan path) in fresh processes, each under a wall-clock watchdog,
+and as a last resort emits the most recent successful chip measurement
+explicitly labeled "stale": true.
 """
 
 import json
 import os
 import subprocess
 import sys
+import threading
 import time
+
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+_SCRIPT = os.path.abspath(__file__)
+_LAST_GOOD = os.path.join(_ROOT, "save", "bench", "bench_last_headline.json")
 
 
 def _wait_for_chip(max_wait_s: float = 1800.0) -> bool:
@@ -56,16 +71,29 @@ import jax
 import jax.numpy as jnp
 
 A100_BASELINE_POINTS_PER_SEC = 75_000.0
-# batches per compiled dispatch (amortises the ~25 ms tunnel round-trip;
-# chunk-size sweep with device-resident inputs: save/bench/ab_bench_chunk.json)
-CHUNK = int(os.environ.get("FLOWCOMPARE_BENCH_CHUNK", "80"))
 N_CHUNKS = 3       # timed chunks
 
+# Ladder of (chunk batches per dispatch, fused kernels?, pre-delay s,
+# watchdog s). Chunk-size sweep with device-resident inputs:
+# save/bench/ab_bench_chunk.json (80 -> 10 costs ~4% throughput). The
+# delayed retry covers transient compile-host pressure; the scan-path rung
+# compiles a far smaller pure-XLA program when the compile host cannot fit
+# the fused megakernel program at all.
+_RUNGS = (
+    {"chunk": 80, "fused": True,  "delay": 0,   "watchdog": 1500},
+    {"chunk": 40, "fused": True,  "delay": 0,   "watchdog": 1200},
+    {"chunk": 10, "fused": True,  "delay": 0,   "watchdog": 1200},
+    {"chunk": 10, "fused": True,  "delay": 600, "watchdog": 1200},
+    {"chunk": 10, "fused": False, "delay": 0,   "watchdog": 1200},
+)
 
-def main():
+
+def main(chunk: int, fused: bool = True):
     # bounded wait if the TPU worker happens to be mid-restart (otherwise
     # backend init inside the first op below blocks with no timeout)
-    _wait_for_chip()
+    if not _wait_for_chip():
+        _emit_stale("TPU worker unreachable")
+        return
 
     import flowcompare_tpu as fc
 
@@ -79,9 +107,11 @@ def main():
     # (within the +-0.01 parity budget)
     cfg["compute_dtype"] = "bfloat16"
     cfg["scan_unroll"] = 4
+    if not fused:
+        cfg["fused_encoder"] = False
     # remat off (eval forward — no memory/compute trade needed),
     # fused_layers on (Pallas flow-layer megakernel, eval-only)
-    model = fc.FlowCompareModel(cfg, remat=False, fused_layers=True)
+    model = fc.FlowCompareModel(cfg, remat=False, fused_layers=fused)
 
     params, state = model.init_params(jax.random.PRNGKey(0))
     batch_size = cfg["batch_size"]  # 20, per reference config
@@ -94,11 +124,11 @@ def main():
     def make_chunk(i):
         return (
             jax.random.normal(jax.random.fold_in(ks[0], i),
-                              (CHUNK, batch_size, cfg["n_samples_context"], 6)),
+                              (chunk, batch_size, cfg["n_samples_context"], 6)),
             jax.random.normal(jax.random.fold_in(ks[1], i),
-                              (CHUNK, batch_size, cfg["sample_size"], 6)),
+                              (chunk, batch_size, cfg["sample_size"], 6)),
             jax.random.normal(jax.random.fold_in(ks[2], i),
-                              (CHUNK, batch_size, 1)),
+                              (chunk, batch_size, 1)),
         )
 
     @jax.jit
@@ -127,24 +157,100 @@ def main():
     # executable-load hit this backend charges (~1s). float() forces a real
     # device sync through the hosted-TPU tunnel (block_until_ready can
     # return early there).
-    for chunk in warm_chunks:
-        losses, nats = eval_chunk(params, state, chunk, ks[3])
+    for c in warm_chunks:
+        losses, nats = eval_chunk(params, state, c, ks[3])
         float(losses[0])
 
     t0 = time.perf_counter()
-    for chunk in timed_chunks:
-        losses, nats = eval_chunk(params, state, chunk, ks[3])
+    for c in timed_chunks:
+        losses, nats = eval_chunk(params, state, c, ks[3])
         float(losses[0])
     dt = (time.perf_counter() - t0) / N_CHUNKS
 
-    points_per_sec = CHUNK * batch_size * cfg["sample_size"] / dt
-    print(json.dumps({
-        "metric": f"points/sec/chip (nats eval, {preset}, {CHUNK}-batch chunks)",
+    points_per_sec = chunk * batch_size * cfg["sample_size"] / dt
+    path = "" if fused else ", scan path"
+    result = {
+        "metric": (f"points/sec/chip (nats eval, {preset}, "
+                   f"{chunk}-batch chunks{path})"),
         "value": round(points_per_sec, 1),
         "unit": "points/sec",
         "vs_baseline": round(points_per_sec / A100_BASELINE_POINTS_PER_SEC, 3),
-    }))
+    }
+    print(json.dumps(result))
+    if preset == "dulcet-universe" and "FLOWCOMPARE_BENCH_BATCH" not in os.environ:
+        # record the measurement for the stale-fallback rung of future runs
+        try:
+            os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
+            with open(_LAST_GOOD, "w") as f:
+                json.dump(dict(result, recorded=time.strftime("%Y-%m-%d"),
+                               fused=fused), f)
+        except OSError:
+            pass
+
+
+def _emit_stale(why: str):
+    """Last resort: print the most recent successful chip measurement,
+    explicitly labeled stale, instead of failing the round's artifact."""
+    for path in (_LAST_GOOD,
+                 os.path.join(_ROOT, "save", "bench",
+                              "bench_headline_transposed.json")):
+        try:
+            with open(path) as f:
+                last = json.load(f)
+            break
+        except (OSError, ValueError):
+            last = None
+    if last is None:
+        raise SystemExit(f"bench: {why} and no recorded measurement to fall "
+                         "back on")
+    out = {
+        "metric": last["metric"] + f" [STALE: {why}; last recorded chip "
+        f"measurement {last.get('recorded', 'of a prior run')}]",
+        "value": last["value"],
+        "unit": last["unit"],
+        "vs_baseline": last["vs_baseline"],
+        "stale": True,
+    }
+    print(json.dumps(out))
+
+
+def _main_with_rungs():
+    """Walk the _RUNGS ladder across fresh processes (re-exec on failure —
+    a killed compile helper can leave the backend client unusable) with a
+    wall-clock watchdog per rung (compile requests can HANG, not just
+    fail). FLOWCOMPARE_BENCH_CHUNK pins a single manual configuration with
+    no ladder."""
+    manual = os.environ.get("FLOWCOMPARE_BENCH_CHUNK")
+    if manual is not None:
+        main(int(manual), fused=os.environ.get("FLOWCOMPARE_BENCH_FUSED",
+                                               "1") != "0")
+        return
+    rung_i = int(os.environ.get("FLOWCOMPARE_BENCH_RUNG", "0"))
+    if rung_i >= len(_RUNGS):
+        _emit_stale("compile host rejected every ladder configuration")
+        return
+    rung = _RUNGS[rung_i]
+
+    def _advance(reason: str):
+        sys.stderr.write(f"bench: rung {rung_i} {rung} failed ({reason}); "
+                         f"advancing\n")
+        sys.stderr.flush()
+        env = dict(os.environ, FLOWCOMPARE_BENCH_RUNG=str(rung_i + 1))
+        os.execve(sys.executable, [sys.executable, _SCRIPT], env)
+
+    if rung["delay"]:
+        time.sleep(rung["delay"])
+    dog = threading.Timer(rung["watchdog"],
+                          lambda: _advance(f"watchdog {rung['watchdog']}s"))
+    dog.daemon = True
+    dog.start()
+    try:
+        main(rung["chunk"], fused=rung["fused"])
+    except Exception as e:
+        dog.cancel()
+        _advance(repr(e)[:300])
+    dog.cancel()
 
 
 if __name__ == "__main__":
-    main()
+    _main_with_rungs()
