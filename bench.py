@@ -73,22 +73,27 @@ import jax.numpy as jnp
 A100_BASELINE_POINTS_PER_SEC = 75_000.0
 N_CHUNKS = 3       # timed chunks
 
-# Ladder of (chunk batches per dispatch, fused kernels?, pre-delay s,
-# watchdog s). Chunk-size sweep with device-resident inputs:
-# save/bench/ab_bench_chunk.json (80 -> 10 costs ~4% throughput). The
-# delayed retry covers transient compile-host pressure; the scan-path rung
-# compiles a far smaller pure-XLA program when the compile host cannot fit
-# the fused megakernel program at all.
+# Ladder of progressively more compile-friendly configurations, walked on
+# failure. Measured on the degraded compile host of 2026-08-20 (probes:
+# tools/probe_compile_health{,2}.py): any program containing the one-launch
+# encoder megakernel was SIGKILLed (or hung — hence the watchdogs), the
+# flow megakernel WITHOUT the encoder kernel compiled in 108 s, pure XLA in
+# 72 s. Chunk 80 -> 10 costs ~4% throughput (save/bench/ab_bench_chunk.json)
+# and covers the failure class where only the biggest program is rejected;
+# the delayed retry covers transient host pressure.
 _RUNGS = (
-    {"chunk": 80, "fused": True,  "delay": 0,   "watchdog": 1500},
-    {"chunk": 40, "fused": True,  "delay": 0,   "watchdog": 1200},
-    {"chunk": 10, "fused": True,  "delay": 0,   "watchdog": 1200},
-    {"chunk": 10, "fused": True,  "delay": 600, "watchdog": 1200},
-    {"chunk": 10, "fused": False, "delay": 0,   "watchdog": 1200},
+    {"chunk": 80, "fused": True,  "fused_encoder": True,
+     "delay": 0,   "watchdog": 1500},
+    {"chunk": 10, "fused": True,  "fused_encoder": True,
+     "delay": 120, "watchdog": 1200},
+    {"chunk": 10, "fused": True,  "fused_encoder": False,
+     "delay": 0,   "watchdog": 900},
+    {"chunk": 10, "fused": False, "fused_encoder": False,
+     "delay": 0,   "watchdog": 900},
 )
 
 
-def main(chunk: int, fused: bool = True):
+def main(chunk: int, fused: bool = True, fused_encoder: bool = True):
     # bounded wait if the TPU worker happens to be mid-restart (otherwise
     # backend init inside the first op below blocks with no timeout)
     if not _wait_for_chip():
@@ -107,7 +112,7 @@ def main(chunk: int, fused: bool = True):
     # (within the +-0.01 parity budget)
     cfg["compute_dtype"] = "bfloat16"
     cfg["scan_unroll"] = 4
-    if not fused:
+    if not fused_encoder:
         cfg["fused_encoder"] = False
     # remat off (eval forward — no memory/compute trade needed),
     # fused_layers on (Pallas flow-layer megakernel, eval-only)
@@ -168,7 +173,8 @@ def main(chunk: int, fused: bool = True):
     dt = (time.perf_counter() - t0) / N_CHUNKS
 
     points_per_sec = chunk * batch_size * cfg["sample_size"] / dt
-    path = "" if fused else ", scan path"
+    path = ("" if fused and fused_encoder
+            else ", xla encoder" if fused else ", scan path")
     result = {
         "metric": (f"points/sec/chip (nats eval, {preset}, "
                    f"{chunk}-batch chunks{path})"),
@@ -177,7 +183,8 @@ def main(chunk: int, fused: bool = True):
         "vs_baseline": round(points_per_sec / A100_BASELINE_POINTS_PER_SEC, 3),
     }
     print(json.dumps(result))
-    if preset == "dulcet-universe" and "FLOWCOMPARE_BENCH_BATCH" not in os.environ:
+    if (preset == "dulcet-universe" and fused and fused_encoder
+            and "FLOWCOMPARE_BENCH_BATCH" not in os.environ):
         # record the measurement for the stale-fallback rung of future runs
         try:
             os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
@@ -222,8 +229,10 @@ def _main_with_rungs():
     no ladder."""
     manual = os.environ.get("FLOWCOMPARE_BENCH_CHUNK")
     if manual is not None:
-        main(int(manual), fused=os.environ.get("FLOWCOMPARE_BENCH_FUSED",
-                                               "1") != "0")
+        main(int(manual),
+             fused=os.environ.get("FLOWCOMPARE_BENCH_FUSED", "1") != "0",
+             fused_encoder=os.environ.get("FLOWCOMPARE_BENCH_FUSED_ENCODER",
+                                          "1") != "0")
         return
     rung_i = int(os.environ.get("FLOWCOMPARE_BENCH_RUNG", "0"))
     if rung_i >= len(_RUNGS):
@@ -245,7 +254,8 @@ def _main_with_rungs():
     dog.daemon = True
     dog.start()
     try:
-        main(rung["chunk"], fused=rung["fused"])
+        main(rung["chunk"], fused=rung["fused"],
+             fused_encoder=rung["fused_encoder"])
     except Exception as e:
         dog.cancel()
         _advance(repr(e)[:300])
