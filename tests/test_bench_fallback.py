@@ -66,6 +66,28 @@ def test_emit_stale_without_any_artifact_raises(bench, monkeypatch,
         bench._emit_stale("nothing recorded")
 
 
+def test_degraded_rungs_prefer_recorded_full_measurement(
+        bench, capsys, tmp_path, monkeypatch):
+    """Entering a degraded rung (kernels disabled) with a recorded
+    full-config measurement available must emit that measurement labeled
+    stale instead of benchmarking the degraded configuration."""
+    last = {"metric": "points/sec/chip (nats eval, dulcet-universe)",
+            "value": 99999.0, "unit": "points/sec", "vs_baseline": 1.333,
+            "recorded": "2026-08-19"}
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps(last))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    degraded = next(i for i, r in enumerate(bench._RUNGS)
+                    if not (r["fused"] and r["fused_encoder"]))
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_RUNG", str(degraded))
+    monkeypatch.delenv("FLOWCOMPARE_BENCH_CHUNK", raising=False)
+    monkeypatch.setattr(bench, "main",
+                        lambda *a, **k: pytest.fail("ran degraded bench"))
+    bench._main_with_rungs()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["stale"] is True and out["value"] == 99999.0
+
+
 def test_ladder_shape(bench):
     """The ladder must try the fastest configuration first, only shrink,
     and end with the pure-XLA rung (the only one the 2026-08-20 degraded
