@@ -99,12 +99,9 @@ _RUNGS = (
 
 
 def main(chunk: int, fused: bool = True, fused_encoder: bool = True):
-    # bounded wait if the TPU worker happens to be mid-restart (otherwise
-    # backend init inside the first op below blocks with no timeout)
-    if not _wait_for_chip():
-        _emit_stale("TPU worker unreachable")
-        return
-
+    # NOTE: the caller (_main_with_rungs) is responsible for _wait_for_chip
+    # — waiting here would race the per-rung watchdog and mislabel a plain
+    # chip outage as a compile-host failure.
     import flowcompare_tpu as fc
 
     # `flowcompare bench --preset X --batch-size B` parameterizes through the
@@ -187,34 +184,58 @@ def main(chunk: int, fused: bool = True, fused_encoder: bool = True):
         "unit": "points/sec",
         "vs_baseline": round(points_per_sec / A100_BASELINE_POINTS_PER_SEC, 3),
     }
-    print(json.dumps(result))
-    if (preset == "dulcet-universe" and fused and fused_encoder
-            and "FLOWCOMPARE_BENCH_BATCH" not in os.environ):
-        # record the measurement for the stale-fallback rung of future runs
+    print(json.dumps(result), flush=True)
+    if _should_record(preset, fused, fused_encoder, chunk):
+        # record the measurement for the stale fallback of future runs;
+        # write atomically — a watchdog re-exec mid-dump must not leave a
+        # truncated artifact behind
         try:
             os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
-            with open(_LAST_GOOD, "w") as f:
+            tmp = _LAST_GOOD + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(dict(result, recorded=time.strftime("%Y-%m-%d"),
-                               fused=fused), f)
+                               preset=preset, chunk=chunk), f)
+            os.replace(tmp, _LAST_GOOD)
         except OSError:
             pass
 
 
-def _emit_stale(why: str):
-    """Last resort: print the most recent successful chip measurement,
-    explicitly labeled stale, instead of failing the round's artifact."""
+def _should_record(preset: str, fused: bool, fused_encoder: bool,
+                   chunk: int) -> bool:
+    """Record _LAST_GOOD only for a representative flagship measurement:
+    full kernel config, full-scale chunking (a manual FLOWCOMPARE_BENCH_CHUNK
+    smoke run at a tiny chunk is dispatch-dominated and must not become the
+    number stale fallbacks republish), default batch size."""
+    return (preset == "dulcet-universe" and fused and fused_encoder
+            and chunk >= 40
+            and "FLOWCOMPARE_BENCH_BATCH" not in os.environ)
+
+
+def _load_last_good():
+    """The most recent recorded FULL-CONFIG measurement of the flagship
+    preset, or None. Shared by the degraded-rung gate and _emit_stale so
+    they can never disagree about whether a fallback measurement exists."""
+    if os.environ.get("FLOWCOMPARE_BENCH_PRESET",
+                      "dulcet-universe") != "dulcet-universe":
+        return None   # recorded artifacts are flagship-only
     for path in (_LAST_GOOD,
                  os.path.join(_ROOT, "save", "bench",
                               "bench_headline_transposed.json")):
         try:
             with open(path) as f:
-                last = json.load(f)
-            break
+                return json.load(f)
         except (OSError, ValueError):
-            last = None
+            continue
+    return None
+
+
+def _emit_stale(why: str):
+    """Last resort: print the most recent successful chip measurement,
+    explicitly labeled stale, instead of failing the round's artifact."""
+    last = _load_last_good()
     if last is None:
-        raise SystemExit(f"bench: {why} and no recorded measurement to fall "
-                         "back on")
+        raise SystemExit(f"bench: {why}, and no recorded measurement of the "
+                         "requested configuration to fall back on")
     out = {
         "metric": last["metric"] + f" [STALE: {why}; last recorded chip "
         f"measurement {last.get('recorded', 'of a prior run')}]",
@@ -223,7 +244,7 @@ def _emit_stale(why: str):
         "vs_baseline": last["vs_baseline"],
         "stale": True,
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 def _main_with_rungs():
@@ -232,6 +253,12 @@ def _main_with_rungs():
     wall-clock watchdog per rung (compile requests can HANG, not just
     fail). FLOWCOMPARE_BENCH_CHUNK pins a single manual configuration with
     no ladder."""
+    # bounded wait for a mid-restart TPU worker, BEFORE any watchdog starts:
+    # a plain chip outage must surface as "worker unreachable" at rung 0,
+    # not be misattributed to the compile host after walking the ladder
+    if not _wait_for_chip():
+        _emit_stale("TPU worker unreachable (waited 30 min)")
+        return
     manual = os.environ.get("FLOWCOMPARE_BENCH_CHUNK")
     if manual is not None:
         main(int(manual),
@@ -244,18 +271,16 @@ def _main_with_rungs():
         _emit_stale("compile host rejected every ladder configuration")
         return
     rung = _RUNGS[rung_i]
-    if not (rung["fused"] and rung["fused_encoder"]):
+    if (not (rung["fused"] and rung["fused_encoder"])
+            and _load_last_good() is not None):
         # entering the degraded rungs: a recorded full-config measurement
         # (labeled stale) beats a fresh measurement with kernels disabled
-        try:
-            with open(_LAST_GOOD) as f:
-                json.load(f)
-            _emit_stale("compile host cannot fit the fused program; "
-                        "degraded-kernel rungs skipped in favor of the last "
-                        "full-config measurement")
-            return
-        except (OSError, ValueError):
-            pass
+        _emit_stale("compile host cannot fit the fused program; "
+                    "degraded-kernel rungs skipped in favor of the last "
+                    "full-config measurement")
+        return
+
+    done = threading.Event()
 
     def _advance(reason: str):
         sys.stderr.write(f"bench: rung {rung_i} {rung} failed ({reason}); "
@@ -264,16 +289,22 @@ def _main_with_rungs():
         env = dict(os.environ, FLOWCOMPARE_BENCH_RUNG=str(rung_i + 1))
         os.execve(sys.executable, [sys.executable, _SCRIPT], env)
 
+    def _watchdog_fire():
+        if done.is_set():   # measurement finished just before the deadline
+            return
+        _advance(f"watchdog {rung['watchdog']}s")
+
     if rung["delay"]:
         time.sleep(rung["delay"])
-    dog = threading.Timer(rung["watchdog"],
-                          lambda: _advance(f"watchdog {rung['watchdog']}s"))
+    dog = threading.Timer(rung["watchdog"], _watchdog_fire)
     dog.daemon = True
     dog.start()
     try:
         main(rung["chunk"], fused=rung["fused"],
              fused_encoder=rung["fused_encoder"])
+        done.set()
     except Exception as e:
+        done.set()
         dog.cancel()
         _advance(repr(e)[:300])
     dog.cancel()

@@ -56,10 +56,14 @@ def _kernel(*refs, k: int, n: int, npad: int, dims, in_dim: int,
     head_w = [(next(it), next(it)) for _ in range(n_head)] if head else []
     out_ref = next(it)
     h_ref = next(it)                      # (npad, 256) bf16 scratch
-    mx_ref = next(it)                     # (npad, 256) bf16 scratch
     feats_ref = next(it)                  # (npad, 512) bf16 scratch
     rank_ref = None if use_value else next(it)   # (rb_block, npad) scratch
-    mxT_ref = next(it) if transposed else None   # (256, npad) bf16 scratch
+    # exactly ONE kNN-max accumulator exists: (256, npad) in the transposed
+    # layout, (npad, 256) row-major — the branches never touch the other's
+    if transposed:
+        mxT_ref, mx_ref = next(it), None
+    else:
+        mxT_ref, mx_ref = None, next(it)
 
     # zero-fill so padded feature lanes are exact zeros everywhere — the
     # low-rank extraction gathers h slices padded to 16 sublanes and relies
@@ -304,15 +308,15 @@ def _run(x, folds, k, head, interpret):
 
     scratch = [
         pltpu.VMEM((npad, 256), jnp.bfloat16),   # h
-        pltpu.VMEM((npad, 256), jnp.bfloat16),   # mx
         pltpu.VMEM((npad, 512), jnp.bfloat16),   # stage-skip concat
     ]
     if not use_value:
         scratch.append(pltpu.VMEM(
             (rb_block, npad),
             jnp.bfloat16 if _ep._BF16_RANK else jnp.int32))
-    if transposed:
-        scratch.append(pltpu.VMEM((256, npad), jnp.bfloat16))   # mx^T
+    # the kNN-max accumulator of whichever layout is traced (see _kernel)
+    scratch.append(pltpu.VMEM((256, npad) if transposed else (npad, 256),
+                              jnp.bfloat16))
 
     out = pl.pallas_call(
         kernel,

@@ -81,11 +81,54 @@ def test_degraded_rungs_prefer_recorded_full_measurement(
                     if not (r["fused"] and r["fused_encoder"]))
     monkeypatch.setenv("FLOWCOMPARE_BENCH_RUNG", str(degraded))
     monkeypatch.delenv("FLOWCOMPARE_BENCH_CHUNK", raising=False)
+    monkeypatch.setattr(bench, "_wait_for_chip", lambda *a, **k: True)
     monkeypatch.setattr(bench, "main",
                         lambda *a, **k: pytest.fail("ran degraded bench"))
     bench._main_with_rungs()
     out = json.loads(capsys.readouterr().out.strip())
     assert out["stale"] is True and out["value"] == 99999.0
+
+
+def test_chip_unreachable_emits_stale_with_correct_label(
+        bench, capsys, tmp_path, monkeypatch):
+    """A plain worker outage must be labeled as such at rung 0 — not walk
+    the ladder and get misattributed to the compile host."""
+    last = {"metric": "m", "value": 1.0, "unit": "points/sec",
+            "vs_baseline": 0.1, "recorded": "2026-08-19"}
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps(last))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    monkeypatch.setattr(bench, "_wait_for_chip", lambda *a, **k: False)
+    monkeypatch.setattr(bench, "main",
+                        lambda *a, **k: pytest.fail("touched the backend"))
+    monkeypatch.delenv("FLOWCOMPARE_BENCH_RUNG", raising=False)
+    monkeypatch.delenv("FLOWCOMPARE_BENCH_CHUNK", raising=False)
+    bench._main_with_rungs()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["stale"] is True and "unreachable" in out["metric"]
+
+
+def test_stale_never_substitutes_a_different_preset(bench, monkeypatch):
+    """A non-flagship preset request must fail loudly rather than emit the
+    recorded dulcet-universe measurement under the wrong name."""
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_PRESET", "good-surf")
+    assert bench._load_last_good() is None
+    with pytest.raises(SystemExit):
+        bench._emit_stale("compile host down")
+
+
+def test_last_good_recording_policy(bench, monkeypatch):
+    """_LAST_GOOD captures only representative flagship measurements."""
+    monkeypatch.delenv("FLOWCOMPARE_BENCH_BATCH", raising=False)
+    ok = bench._should_record
+    assert ok("dulcet-universe", True, True, 80)
+    assert ok("dulcet-universe", True, True, 40)
+    assert not ok("dulcet-universe", True, True, 1)     # smoke chunk
+    assert not ok("dulcet-universe", True, False, 80)   # degraded encoder
+    assert not ok("dulcet-universe", False, False, 80)  # scan path
+    assert not ok("good-surf", True, True, 80)          # non-flagship
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_BATCH", "4")
+    assert not ok("dulcet-universe", True, True, 80)    # batch override
 
 
 def test_ladder_shape(bench):
