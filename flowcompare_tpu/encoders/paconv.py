@@ -171,7 +171,11 @@ def _sa_level(params, state, xyz, feats, *, training):
     idx = furthest_point_sampling(xyz_sg, npoint)
     gather = gather_neighbors_mm if training else gather_neighbors
     new_xyz = gather(xyz, idx[..., None])[:, :, 0]
-    knn_idx = knn_indices(jax.lax.stop_gradient(new_xyz), xyz_sg, NSAMPLE)
+    # self_idx pins neighbour slot 0 to the center itself (knnquery_heap
+    # contract; the PAConv op's center-feature slot depends on it) even
+    # under the TPU MXU's bf16 distance-rounding noise
+    knn_idx = knn_indices(jax.lax.stop_gradient(new_xyz), xyz_sg, NSAMPLE,
+                          self_idx=idx)
     grouped_xyz = gather(xyz, knn_idx)
     grouped_xyz_diff = grouped_xyz - new_xyz[:, :, None, :]
     grouped_feats = gather(feats, knn_idx)

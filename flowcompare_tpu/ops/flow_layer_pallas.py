@@ -54,10 +54,22 @@ ABLATE: frozenset = frozenset()
 # VPU reduction per layer); False = clamp scores at 80 instead (elementwise,
 # cheaper) — exact whenever max score < 80 (f32 exp overflows at 88; even a
 # full 1250-wide row of clamped scores sums to 6.9e37 < f32 max, so no
-# overflow/NaN is possible either way), and the e@v / ones-column division
-# cancels any constant anyway. Production False: +0.8% same-worker, nats
-# shift 2e-5 (save/bench/ab_gelu_guarded.json). Trace-time.
+# OVERFLOW is possible either way), and the e@v / ones-column division
+# cancels any constant anyway. The UNDERFLOW direction (a whole row below
+# ~-92 nats → every e rounds to 0 in the bf16 cast → 0/0) is covered by
+# _DENOM_EPS on the ones-column denominator instead of a lower clamp.
+# Production False: +0.8% same-worker, nats shift 2e-5
+# (save/bench/ab_gelu_guarded.json). Trace-time.
 _SOFTMAX_MAX = False
+
+# Added to the ones-column softmax denominator before dividing. Provably a
+# bit-exact no-op whenever any score in the row exceeds ~-50 nats (f32
+# round(x + 1e-30) == x for x >= ~3e-23); in the deep-underflow regime
+# where every exp term rounds to bf16 zero it turns the 0/0 NaN (which
+# would otherwise propagate through all remaining layers) into an exact 0
+# attention output. The max-subtraction path cannot underflow (one e == 1)
+# and doesn't need it.
+_DENOM_EPS = 1e-30
 
 # GELU logit-poly degree-2 variant (core/mlp._GELU_LOGIT_POLY_DEG2, max err
 # 2.5e-5 vs deg-4's 3.2e-6): 2 fewer FMA passes per element, at the cost of
@@ -246,7 +258,10 @@ def _attention_cond(x1b, pre_w, wq_f, bq_f, kb, v1b, d):
         e = jnp.exp2(sm) if _SOFTMAX_EXP2 else jnp.exp(sm)
     av = jnp.dot(e.astype(jnp.bfloat16), v1b,
                  preferred_element_type=jnp.float32)
-    a = av[:, :d] / av[:, d:d + 1]              # normalize AFTER pv
+    denom = av[:, d:d + 1]
+    if not _SOFTMAX_MAX:
+        denom = denom + jnp.float32(_DENOM_EPS)   # 0/0 guard, see _DENOM_EPS
+    a = av[:, :d] / denom                       # normalize AFTER pv
     return a.astype(jnp.bfloat16)
 
 
@@ -665,6 +680,35 @@ def fused_flow_layers(x: jnp.ndarray, ldj: jnp.ndarray, context: jnp.ndarray,
     return out_x.astype(jnp.float32), out_ldj[..., 0]
 
 
+def _padded_layout_t(split: int):
+    """The transposed kernels' 8-aligned latent layout: split -> sp
+    (rounded up to the f32 sublane quantum) so the x1/x2 halves stay
+    sliceable on sublanes, live dims at `pidx`, inert dead dims at `dead`
+    (see _TRANSPOSED_EVAL). Single source of truth for forward, inverse
+    and fold — the dead-dim interleaving must match everywhere."""
+    import numpy as np
+
+    sp = -(-split // 8) * 8
+    latp = 2 * sp
+    pidx = np.concatenate([np.arange(split), sp + np.arange(split)])
+    dead = np.setdiff1d(np.arange(latp), pidx)
+    return sp, latp, pidx, dead
+
+
+def _scatter_tail_t(w, bvec, pidx, dead, latp):
+    """Scatter a (L, lat, lat) tail matrix + (L, lat)-ish bias into the
+    padded layout, identity on the dead diagonal so padded lanes pass
+    through inert. Returns ((L, latp, latp) f32, (L, latp, 1) f32)."""
+    n_l = w.shape[0]
+    wsc = jnp.zeros((n_l, latp, latp), jnp.float32)
+    wsc = wsc.at[:, pidx[:, None], pidx[None, :]].set(w.astype(jnp.float32))
+    if dead.size:
+        wsc = wsc.at[:, dead, dead].set(1.0)
+    bsc = jnp.zeros((n_l, latp), jnp.float32).at[:, pidx].set(
+        bvec.reshape(n_l, -1).astype(jnp.float32))[:, :, None]
+    return wsc, bsc
+
+
 def fold_stacks_t(folded: dict, *, split: int, extra_dim: int,
                   lu_tail: bool = True) -> dict:
     """Re-lay fold_stacks() output for the TRANSPOSED kernel (_kernel_t):
@@ -673,12 +717,7 @@ def fold_stacks_t(folded: dict, *, split: int, extra_dim: int,
     scattered in (see _TRANSPOSED_EVAL). wkv splits into wk (kept (E, d),
     it contracts against q^T in-kernel) and wvT ((d, E), producing v^T
     directly from ctx^T). Host-side, f32, once per dispatch."""
-    import numpy as np
-
-    sp = -(-split // 8) * 8
-    latp = 2 * sp
-    pidx = np.concatenate([np.arange(split), sp + np.arange(split)])
-    dead = np.setdiff1d(np.arange(latp), pidx)
+    sp, latp, pidx, dead = _padded_layout_t(split)
 
     def tr(w):                       # (L, i, o) -> (L, o, i)
         return jnp.swapaxes(w, 1, 2)
@@ -721,15 +760,8 @@ def fold_stacks_t(folded: dict, *, split: int, extra_dim: int,
         # the inverse kernel builds its own inv_sc/sh_sc from lu_w_inv_f —
         # skip the ~42 MB (L, latp, latp) forward-tail scatter it never reads
         return out
-    lu = folded["lu_w_f"].astype(jnp.float32)   # (L, lat, lat)
-    lun = jnp.zeros((n_l, latp, latp), jnp.float32)
-    lun = lun.at[:, pidx[:, None], pidx[None, :]].set(lu)
-    if dead.size:
-        lun = lun.at[:, dead, dead].set(1.0)
-    out["lu_w_t"] = lun
-    lb = folded["lu_b"].reshape(n_l, -1).astype(jnp.float32)
-    out["lu_b_t"] = jnp.zeros((n_l, latp),
-                              jnp.float32).at[:, pidx].set(lb)[:, :, None]
+    out["lu_w_t"], out["lu_b_t"] = _scatter_tail_t(
+        folded["lu_w_f"], folded["lu_b"], pidx, dead, latp)
     out["lu_ldj_f"] = folded["lu_ldj_f"]
     return out
 
@@ -741,20 +773,29 @@ def _lin_t(h, pair):
             + bb[0].astype(jnp.float32))
 
 
+def _mlp_rest_t(h, pairs):
+    """Transposed residual hidden chain (core/mlp.apply_mlp's scheme: a
+    residual add every SECOND hidden layer), bf16 carries. Shared by the
+    attention pre-MLP and the coupling MLP so the alternation/precision
+    policy lives in exactly one place."""
+    residual = h
+    for kk, pair in enumerate(pairs):
+        if kk % 2 == 0:
+            residual = h
+            h = _gelu(_lin_t(h, pair)).astype(jnp.bfloat16)
+        else:
+            h = _gelu(residual.astype(jnp.float32)
+                      + _lin_t(h, pair)).astype(jnp.bfloat16)
+    return h
+
+
 def _attention_cond_t(x1b, pre_w, wq_t, bq_t, wk, ctxb, v1Tb, d, n_pre):
     """The transposed twin of _attention_cond: pre-MLP, cross-sublane LN,
     folded q projection, s^T = ctx @ (wk @ q^T), clamp softmax, and the
     v1^T @ e^T matmul whose ones ROW is the denominator. Returns the
     (d, rows) embedding in bf16."""
     h = _gelu(_lin_t(x1b, pre_w[0])).astype(jnp.bfloat16)
-    residual = h
-    for kk, idx in enumerate(range(1, n_pre - 1)):
-        if (idx - 1) % 2 == 0:
-            residual = h
-            h = _gelu(_lin_t(h, pre_w[kk + 1])).astype(jnp.bfloat16)
-        else:
-            h = _gelu(residual.astype(jnp.float32)
-                      + _lin_t(h, pre_w[kk + 1])).astype(jnp.bfloat16)
+    h = _mlp_rest_t(h, [pre_w[i] for i in range(1, n_pre - 1)])
     q_in = _lin_t(h, pre_w[n_pre - 1])              # (A, rows) f32
     mean = jnp.mean(q_in, axis=0, keepdims=True)
     var = jnp.mean(q_in * q_in, axis=0, keepdims=True) - mean * mean
@@ -781,7 +822,10 @@ def _attention_cond_t(x1b, pre_w, wq_t, bq_t, wk, ctxb, v1Tb, d, n_pre):
         eT = jnp.exp2(sm) if _SOFTMAX_EXP2 else jnp.exp(sm)
     avT = jnp.dot(v1Tb, eT.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)         # (d+1, rows)
-    return (avT[:d] / avT[d:d + 1]).astype(jnp.bfloat16)
+    denomT = avT[d:d + 1]
+    if not _SOFTMAX_MAX:
+        denomT = denomT + jnp.float32(_DENOM_EPS)  # 0/0 guard, see _DENOM_EPS
+    return (avT[:d] / denomT).astype(jnp.bfloat16)
 
 
 def _coupling_st_t(x1e, cond, cpl_in_xe, cpl_in_c, cpl_in_b, cpl_w, n_cpl):
@@ -791,15 +835,8 @@ def _coupling_st_t(x1e, cond, cpl_in_xe, cpl_in_c, cpl_in_b, cpl_w, n_cpl):
            + jnp.dot(cpl_in_c[0], cond, preferred_element_type=jnp.float32)
            + cpl_in_b[0].astype(jnp.float32))
     h = _gelu(acc).astype(jnp.bfloat16)
-    residual = h
     if "nocpl_hidden" not in ABLATE:
-        for kk, idx in enumerate(range(1, n_cpl - 1)):
-            if (idx - 1) % 2 == 0:
-                residual = h
-                h = _gelu(_lin_t(h, cpl_w[kk])).astype(jnp.bfloat16)
-            else:
-                h = _gelu(residual.astype(jnp.float32)
-                          + _lin_t(h, cpl_w[kk])).astype(jnp.bfloat16)
+        h = _mlp_rest_t(h, [cpl_w[i] for i in range(n_cpl - 2)])
     return _lin_t(h, cpl_w[n_cpl - 2])
 
 
@@ -1075,8 +1112,6 @@ def fused_flow_layers_inverse_t(z: jnp.ndarray, context: jnp.ndarray,
     """fused_flow_layers_inverse in the transposed layout (see
     _TRANSPOSED_EVAL). Walks layers backwards through the weight index
     maps; same (z -> x) contract, no ldj."""
-    import numpy as np
-
     b, n, lat = z.shape
     split = lat // 2
     stx = fold_stacks_t(folded_inv, split=split,
@@ -1084,8 +1119,7 @@ def fused_flow_layers_inverse_t(z: jnp.ndarray, context: jnp.ndarray,
                                    if extra is not None else 0),
                         lu_tail=False)
     sp, latp = stx["sp"], stx["latp"]
-    pidx = np.concatenate([np.arange(split), sp + np.arange(split)])
-    dead = np.setdiff1d(np.arange(latp), pidx)
+    _, _, pidx, dead = _padded_layout_t(split)
     n_layers = folded_inv["lu_w_inv_f"].shape[0]
     has_attn = folded_inv.get("pre") is not None
     has_extra = extra is not None
@@ -1094,15 +1128,11 @@ def fused_flow_layers_inverse_t(z: jnp.ndarray, context: jnp.ndarray,
     last = n_layers - 1
     bf = jnp.bfloat16
 
-    # scatter the inverse tail into the padded layout
-    inv = folded_inv["lu_w_inv_f"].astype(jnp.float32)
-    inv_sc = jnp.zeros((n_layers, latp, latp), jnp.float32)
-    inv_sc = inv_sc.at[:, pidx[:, None], pidx[None, :]].set(inv)
-    if dead.size:
-        inv_sc = inv_sc.at[:, dead, dead].set(1.0)
-    sh = folded_inv["lu_shift"].reshape(n_layers, -1).astype(jnp.float32)
-    sh_sc = jnp.zeros((n_layers, latp),
-                      jnp.float32).at[:, pidx].set(sh)[:, :, None]
+    # scatter the inverse tail into the padded layout (same helper as the
+    # forward tail — the dead-dim interleaving must match fold_stacks_t)
+    inv_sc, sh_sc = _scatter_tail_t(folded_inv["lu_w_inv_f"],
+                                    folded_inv["lu_shift"],
+                                    pidx, dead, latp)
 
     zt = jnp.swapaxes(z, 1, 2).astype(jnp.float32)  # (B, LAT, N)
     if sp != split:

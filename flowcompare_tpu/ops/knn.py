@@ -34,16 +34,29 @@ def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return xx - 2.0 * inner + yy
 
 
-def knn_indices(query: jnp.ndarray, points: jnp.ndarray, k: int) -> jnp.ndarray:
+def knn_indices(query: jnp.ndarray, points: jnp.ndarray, k: int,
+                self_idx: jnp.ndarray | None = None) -> jnp.ndarray:
     """Indices of the k nearest `points` for each `query` point.
 
     query: (..., M, D), points: (..., N, D) -> int32 (..., M, k), nearest
     first (self-first when query is points — the knnquery_heap contract).
     When k > N the tail is padded with index 0, matching the CUDA heap's
     untouched slots (knnquery_heap_cuda_kernel.cu:68-72).
+
+    `self_idx` (..., M) int: the known index of each query point within
+    `points`, when the queries ARE points (e.g. FPS-sampled centers). On
+    TPU the MXU rounds the f32 distance-matmul operands to bf16, so the
+    self distance is NOT exactly zero and self-first can be violated by
+    rounding noise; passing the known index pins slot 0 to self exactly
+    (the knnquery_heap contract PAConv's center-feature slot depends on)
+    while leaving all other ranks untouched.
     """
     n = points.shape[-2]
     neg_dist = -pairwise_sqdist(query, points)
+    if self_idx is not None:
+        is_self = (jnp.arange(n, dtype=self_idx.dtype)
+                   == self_idx[..., None])                   # (..., M, N)
+        neg_dist = jnp.where(is_self, jnp.inf, neg_dist)
     _, idx = jax.lax.top_k(neg_dist, min(k, n))
     if k > n:
         pad = jnp.zeros(idx.shape[:-1] + (k - n,), idx.dtype)
@@ -52,7 +65,17 @@ def knn_indices(query: jnp.ndarray, points: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def knn_self(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Self-kNN over the point axis (DGCNN's dynamic graph, pytorch_gcn.py:13-20)."""
+    """Self-kNN over the point axis (DGCNN's dynamic graph, pytorch_gcn.py:13-20).
+
+    NOTE: self-first is exact on CPU (the expansion's diagonal cancels to
+    exactly 0) but only approximate on TPU, where bf16 MXU rounding leaves
+    O(|x|^2 * 2^-9) diagonal noise. Deliberately NOT pinned here: DGCNN
+    max-pools over the neighbour set (slot order is irrelevant, only
+    membership matters) and the fused EdgeConv/DGCNN kernels share these
+    exact selection semantics — pinning only the gather path would break
+    their validated fused-vs-gather bit-exactness on chip. PAConv, whose
+    slot-0 contract IS load-bearing, pins via knn_indices(self_idx=...).
+    """
     return knn_indices(x, x, k)
 
 

@@ -42,7 +42,13 @@ def voxelize(points: jnp.ndarray, size, start=None, end=None,
 
 
 def all_voxel_centers(start, end, size) -> jnp.ndarray:
-    """All grid-cell centers for a bounding box (utils.py:436-444)."""
+    """All grid-cell centers for a bounding box (utils.py:436-444).
+
+    Axis 0 varies FASTEST (the reference builds this with a reversed
+    meshgrid + .T.flip(-1), utils.py:443) so `centers[voxelize(pts, ...)]`
+    is the containing cell's center — the same index layout voxelize
+    documents above.
+    """
     start = jnp.asarray(start, jnp.float32)
     end = jnp.asarray(end, jnp.float32)
     size = jnp.asarray(size, jnp.float32)
@@ -50,7 +56,8 @@ def all_voxel_centers(start, end, size) -> jnp.ndarray:
     axes = [start[i] + (jnp.arange(int(steps[i])) + 0.5) * size[i]
             for i in range(len(size))]
     grids = jnp.meshgrid(*axes, indexing="ij")
-    return jnp.stack([g.reshape(-1) for g in grids], axis=-1)
+    # .T reverses all axes, so the row-major flatten varies axis 0 fastest
+    return jnp.stack([g.T.reshape(-1) for g in grids], axis=-1)
 
 
 def voxel_occupancy(idx: jnp.ndarray, num_voxels: int) -> jnp.ndarray:

@@ -40,6 +40,47 @@ def test_all_voxel_centers_count():
     assert c.shape == (27, 3)
 
 
+def test_all_voxel_centers_matches_voxelize_ordering():
+    """centers[voxelize(p)] must be the containing cell's center — the two
+    functions share one index layout (axis 0 fastest, utils.py:443)."""
+    size = [1.0, 1.0, 2.0]
+    lo, hi = [0.0, 0.0, 0.0], [2.0, 2.0, 4.0]
+    pts = jnp.asarray([[1.5, 0.1, 0.1], [0.1, 1.6, 3.9], [2.4, 2.4, 5.9]])
+    idx, own_centers = voxelize(pts, size=size, start=lo, end=hi,
+                                return_centers=True)
+    table = all_voxel_centers(lo, hi, size)
+    np.testing.assert_allclose(np.asarray(table)[np.asarray(idx)],
+                               np.asarray(own_centers), atol=1e-6)
+
+
+def test_knn_self_idx_pins_slot0():
+    """knn_indices(self_idx=...) pins neighbour 0 to the known self index
+    (knnquery_heap contract) even when rounding noise makes another point
+    rank closer — simulated by perturbing the queries off their points."""
+    from flowcompare_tpu.ops.knn import knn_indices
+
+    key = jax.random.PRNGKey(3)
+    pts = jax.random.normal(key, (2, 32, 3))
+    # queries = the points, nudged so some OTHER point can be nearer
+    noise = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (2, 32, 3))
+    query = pts + noise
+    self_idx = jnp.broadcast_to(jnp.arange(32), (2, 32))
+    idx = knn_indices(query, pts, 4, self_idx=self_idx)
+    np.testing.assert_array_equal(np.asarray(idx[..., 0]),
+                                  np.asarray(self_idx))
+    # unpinned, at least one slot 0 differs (the perturbation is large
+    # enough that some query's nearest point is not itself)
+    free = knn_indices(query, pts, 4)
+    assert (np.asarray(free[..., 0]) != np.asarray(self_idx)).any()
+    # ranks other than the pinned slot keep their relative order
+    rest_pinned = np.asarray(idx[..., 1:])
+    rest_free = np.asarray(free)
+    for b in range(2):
+        for m in range(32):
+            expect = [j for j in rest_free[b, m] if j != self_idx[b, m]][:3]
+            np.testing.assert_array_equal(rest_pinned[b, m], expect)
+
+
 def test_expm_algos_agree():
     x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (4, 4))
     np.testing.assert_allclose(np.asarray(expm(x, 1e-8, "torch")),
