@@ -13,23 +13,42 @@ The model runs the eval fast path: bf16 compute with f32 ldj accumulation
 megakernel (nats identical to the scan path to 5 decimals), and the fused
 edge-conv kernel (bit-exact vs the gather path).
 
-vs_baseline is measured against an estimated A100 throughput for the
+vs_baseline is measured against an ESTIMATED A100 throughput for the
 PyTorch reference, since the reference publishes no throughput numbers
 (BASELINE.md): ~175M MACs/point in the flow stack + encoder, A100 TF32
 (torch matmul default on Ampere) at a realistic ~35% utilisation, halved
 for the reference's 345-module per-layer dispatch + activation
-checkpointing overhead => ~75k points/sec. The north-star target
-(>=5x, BASELINE.json) is therefore ~375k points/sec/chip.
+checkpointing overhead => ~75k points/sec. Every emitted JSON carries
+"baseline": "estimated-a100" so the estimate is machine-readable.
+The north-star target (>=5x, BASELINE.json) is therefore ~375k points/sec.
 
-Degraded-environment behavior: the hosted backend's REMOTE compile helper
-can SIGKILL on large programs (OOM on the compile host — observed
-2026-08-20 at every chunk size for the ~1MB-MLIR fused program, while tiny
-programs compiled fine) or hang outright. Rather than fail the round's
-bench artifact, `_main_with_rungs` walks a ladder of progressively more
-compile-friendly configurations (smaller chunks -> delayed retry ->
-pure-XLA scan path) in fresh processes, each under a wall-clock watchdog,
-and as a last resort emits the most recent successful chip measurement
-explicitly labeled "stale": true.
+Degraded-environment behavior and the DEADLINE CONTRACT: the hosted
+backend's REMOTE compile helper can SIGKILL large programs (the one-launch
+encoder megakernel is the proven trigger — tools/probe_compile_health2.py,
+2026-08-20) or hang outright, and the TPU worker itself can be down for
+hours. The driver runs this script under a finite timeout (~28 min
+observed), so the WORST case must still print one JSON line. Mechanism:
+
+  * a global wall-clock deadline (default 1200 s, FLOWCOMPARE_BENCH_BUDGET
+    to override) installed in the environment on first entry and inherited
+    by every watchdog re-exec;
+  * the chip-wait, every rung's watchdog, and the compile-health canary
+    are all capped to the remaining budget;
+  * after a rung-0 failure, the encoder-kernel compile canary
+    (tools/probe_encoder_compile.py) decides between one delayed retry
+    (transient pressure) and skipping straight past the known-bad
+    configuration (degraded host);
+  * degraded-kernel rungs only run when no recorded full-config
+    measurement exists — a recorded flagship measurement, explicitly
+    labeled "stale": true, is more representative than a fresh number
+    with kernels disabled;
+  * whenever the remaining budget cannot fit the next rung, the recorded
+    measurement is emitted immediately.
+
+The authoritative recorded measurement lives in
+save/bench/bench_last_headline.json — median of >=3 fresh full-config
+runs + spread, written only by tools/headline_runs.py (never by this
+script), so the stale fallback can only republish the reconciled number.
 """
 
 import json
@@ -42,6 +61,33 @@ import time
 _ROOT = os.path.dirname(os.path.abspath(__file__))
 _SCRIPT = os.path.abspath(__file__)
 _LAST_GOOD = os.path.join(_ROOT, "save", "bench", "bench_last_headline.json")
+_BASELINE_TAG = "estimated-a100"
+
+# --- deadline machinery -----------------------------------------------------
+
+_DEADLINE_ENV = "FLOWCOMPARE_BENCH_DEADLINE"
+_DEFAULT_BUDGET_S = 1200.0   # 20 min, well under the ~28-min driver window
+_STALE_RESERVE_S = 45.0      # time reserved to print the stale fallback
+_MIN_FUSED_WATCHDOG_S = 240.0  # fused compiles take ~100-300 s when healthy
+_MIN_XLA_WATCHDOG_S = 150.0    # pure-XLA program compiled in 72 s
+
+
+def _deadline() -> float:
+    """Global wall-clock deadline (epoch seconds). Installed into the
+    environment on first use so watchdog re-execs inherit the ORIGINAL
+    deadline rather than restarting their own budget."""
+    env = os.environ.get(_DEADLINE_ENV)
+    if env:
+        return float(env)
+    budget = float(os.environ.get("FLOWCOMPARE_BENCH_BUDGET",
+                                  _DEFAULT_BUDGET_S))
+    d = time.time() + budget
+    os.environ[_DEADLINE_ENV] = repr(d)
+    return d
+
+
+def _remaining() -> float:
+    return _deadline() - time.time()
 
 
 def _wait_for_chip(max_wait_s: float = 1800.0) -> bool:
@@ -67,6 +113,20 @@ def _wait_for_chip(max_wait_s: float = 1800.0) -> bool:
         time.sleep(30)
 
 
+def _encoder_canary_ok(timeout_s: float) -> bool:
+    """Does the one-launch encoder megakernel (the proven compile-helper
+    killer) compile+run right now? Subprocess so a hang can't take this
+    process down with it."""
+    try:
+        p = subprocess.run(
+            [sys.executable,
+             os.path.join(_ROOT, "tools", "probe_encoder_compile.py")],
+            timeout=max(30.0, timeout_s), capture_output=True)
+        return p.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 import jax
 import jax.numpy as jnp
 
@@ -74,31 +134,40 @@ A100_BASELINE_POINTS_PER_SEC = 75_000.0
 N_CHUNKS = 3       # timed chunks
 
 # Ladder of progressively more compile-friendly configurations, walked on
-# failure. Measured on the degraded compile host of 2026-08-20 (probes:
-# tools/probe_compile_health{,2}.py): any program containing the one-launch
-# encoder megakernel was SIGKILLed (or hung — hence the watchdogs), the
-# flow megakernel WITHOUT the encoder kernel compiled in 108 s, pure XLA in
-# 72 s. Chunk 80 -> 10 costs ~4% throughput (save/bench/ab_bench_chunk.json)
-# and covers the failure class where only the biggest program is rejected;
-# the delayed retry covers transient host pressure.
+# failure (each rung in a fresh process — a killed compile helper can leave
+# the backend client unusable). encoder: "onelaunch" = the one-launch DGCNN
+# megakernel (fastest, biggest compile — the proven killer on a degraded
+# host), "stages" = per-stage edge-conv Pallas kernels + XLA glue (4 small
+# compiles, ~99% of the headline — encoder one-launch vs per-stage measured
+# at 18.7 vs 19.4 ms of an ~83 ms batch), "xla" = pure-XLA gather encoder
+# (compiled in 108 s on the 2026-08-20 degraded host). Rung 1 re-tries the
+# full configuration once after a delay, but only when the compile-health
+# canary clears it (transient host pressure, not the degraded state).
 _RUNGS = (
-    {"chunk": 80, "fused": True,  "fused_encoder": True,
-     "delay": 0,   "watchdog": 1500},
-    {"chunk": 10, "fused": True,  "fused_encoder": True,
-     "delay": 120, "watchdog": 1200},
-    # Rungs below measure a DEGRADED configuration (the host won't compile
-    # the full program). A recorded full-config measurement, explicitly
-    # labeled stale, is more representative of the framework than a fresh
-    # number with kernels disabled — so these only run when no full-config
-    # measurement exists (see _main_with_rungs).
-    {"chunk": 10, "fused": True,  "fused_encoder": False,
-     "delay": 0,   "watchdog": 900},
-    {"chunk": 10, "fused": False, "fused_encoder": False,
-     "delay": 0,   "watchdog": 900},
+    {"chunk": 80, "fused": True,  "encoder": "onelaunch",
+     "delay": 0,  "watchdog": 480},
+    {"chunk": 40, "fused": True,  "encoder": "onelaunch",
+     "delay": 60, "watchdog": 420},
+    # Rungs below measure a DEGRADED configuration; they only run when no
+    # recorded full-config measurement exists (see _main_with_rungs).
+    {"chunk": 40, "fused": True,  "encoder": "stages",
+     "delay": 0,  "watchdog": 420},
+    {"chunk": 10, "fused": True,  "encoder": "xla",
+     "delay": 0,  "watchdog": 420},
+    {"chunk": 10, "fused": False, "encoder": "xla",
+     "delay": 0,  "watchdog": 420},
 )
 
 
-def main(chunk: int, fused: bool = True, fused_encoder: bool = True):
+def _is_full_config(rung: dict) -> bool:
+    return rung["fused"] and rung["encoder"] == "onelaunch"
+
+
+_PATH_LABELS = {"onelaunch": "", "stages": ", per-stage encoder kernels",
+                "xla": ", xla encoder"}
+
+
+def main(chunk: int, fused: bool = True, encoder: str = "onelaunch"):
     # NOTE: the caller (_main_with_rungs) is responsible for _wait_for_chip
     # — waiting here would race the per-rung watchdog and mislabel a plain
     # chip outage as a compile-host failure.
@@ -114,8 +183,12 @@ def main(chunk: int, fused: bool = True, fused_encoder: bool = True):
     # (within the +-0.01 parity budget)
     cfg["compute_dtype"] = "bfloat16"
     cfg["scan_unroll"] = 4
-    if not fused_encoder:
+    if encoder == "xla":
         cfg["fused_encoder"] = False
+    elif encoder == "stages":
+        # per-stage edge-conv kernels instead of the one-launch megakernel
+        from flowcompare_tpu.encoders import dgcnn as _dgcnn
+        _dgcnn._ONE_LAUNCH = False
     # remat off (eval forward — no memory/compute trade needed),
     # fused_layers on (Pallas flow-layer megakernel, eval-only)
     model = fc.FlowCompareModel(cfg, remat=False, fused_layers=fused)
@@ -175,58 +248,33 @@ def main(chunk: int, fused: bool = True, fused_encoder: bool = True):
     dt = (time.perf_counter() - t0) / N_CHUNKS
 
     points_per_sec = chunk * batch_size * cfg["sample_size"] / dt
-    path = ("" if fused and fused_encoder
-            else ", xla encoder" if fused else ", scan path")
+    path = _PATH_LABELS[encoder] if fused else ", scan path"
     result = {
         "metric": (f"points/sec/chip (nats eval, {preset}, "
                    f"{chunk}-batch chunks{path})"),
         "value": round(points_per_sec, 1),
         "unit": "points/sec",
         "vs_baseline": round(points_per_sec / A100_BASELINE_POINTS_PER_SEC, 3),
+        "baseline": _BASELINE_TAG,
     }
+    if not (fused and encoder == "onelaunch"):
+        result["degraded"] = True
     print(json.dumps(result), flush=True)
-    if _should_record(preset, fused, fused_encoder, chunk):
-        # record the measurement for the stale fallback of future runs;
-        # write atomically — a watchdog re-exec mid-dump must not leave a
-        # truncated artifact behind
-        try:
-            os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
-            tmp = _LAST_GOOD + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(dict(result, recorded=time.strftime("%Y-%m-%d"),
-                               preset=preset, chunk=chunk), f)
-            os.replace(tmp, _LAST_GOOD)
-        except OSError:
-            pass
-
-
-def _should_record(preset: str, fused: bool, fused_encoder: bool,
-                   chunk: int) -> bool:
-    """Record _LAST_GOOD only for a representative flagship measurement:
-    full kernel config, full-scale chunking (a manual FLOWCOMPARE_BENCH_CHUNK
-    smoke run at a tiny chunk is dispatch-dominated and must not become the
-    number stale fallbacks republish), default batch size."""
-    return (preset == "dulcet-universe" and fused and fused_encoder
-            and chunk >= 40
-            and "FLOWCOMPARE_BENCH_BATCH" not in os.environ)
 
 
 def _load_last_good():
-    """The most recent recorded FULL-CONFIG measurement of the flagship
-    preset, or None. Shared by the degraded-rung gate and _emit_stale so
-    they can never disagree about whether a fallback measurement exists."""
+    """The authoritative recorded full-config measurement of the flagship
+    preset (median of >=3 runs, written by tools/headline_runs.py), or
+    None. Shared by the degraded-rung gate and _emit_stale so they can
+    never disagree about whether a fallback measurement exists."""
     if os.environ.get("FLOWCOMPARE_BENCH_PRESET",
                       "dulcet-universe") != "dulcet-universe":
         return None   # recorded artifacts are flagship-only
-    for path in (_LAST_GOOD,
-                 os.path.join(_ROOT, "save", "bench",
-                              "bench_headline_transposed.json")):
-        try:
-            with open(path) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            continue
-    return None
+    try:
+        with open(_LAST_GOOD) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def _emit_stale(why: str):
@@ -242,37 +290,65 @@ def _emit_stale(why: str):
         "value": last["value"],
         "unit": last["unit"],
         "vs_baseline": last["vs_baseline"],
+        "baseline": last.get("baseline", _BASELINE_TAG),
         "stale": True,
     }
+    if "runs" in last:
+        out["runs"] = last["runs"]
+    if "spread_pct" in last:
+        out["spread_pct"] = last["spread_pct"]
     print(json.dumps(out), flush=True)
 
 
+def _reexec(env: dict):
+    """Replace this process (hung backend threads and all) with a fresh
+    ladder step. Factored out so tests can intercept it."""
+    os.execve(sys.executable, [sys.executable, _SCRIPT], env)
+
+
+def _advance_to(rung_i: int, reason: str):
+    sys.stderr.write(f"bench: advancing to rung {rung_i} ({reason})\n")
+    sys.stderr.flush()
+    env = dict(os.environ, FLOWCOMPARE_BENCH_RUNG=str(rung_i))
+    _reexec(env)
+
+
 def _main_with_rungs():
-    """Walk the _RUNGS ladder across fresh processes (re-exec on failure —
-    a killed compile helper can leave the backend client unusable) with a
-    wall-clock watchdog per rung (compile requests can HANG, not just
-    fail). FLOWCOMPARE_BENCH_CHUNK pins a single manual configuration with
-    no ladder."""
-    # bounded wait for a mid-restart TPU worker, BEFORE any watchdog starts:
-    # a plain chip outage must surface as "worker unreachable" at rung 0,
-    # not be misattributed to the compile host after walking the ladder
-    if not _wait_for_chip():
-        _emit_stale("TPU worker unreachable (waited 30 min)")
-        return
+    """Walk the _RUNGS ladder across fresh processes with a wall-clock
+    watchdog per rung (compile requests can HANG, not just fail) and a
+    GLOBAL deadline: every wait is budget-capped and the recorded
+    measurement is emitted the moment the budget can no longer fit a rung.
+    FLOWCOMPARE_BENCH_CHUNK pins a single manual configuration with no
+    ladder (and no deadline — manual runs are interactive tooling)."""
     manual = os.environ.get("FLOWCOMPARE_BENCH_CHUNK")
     if manual is not None:
+        enc = os.environ.get("FLOWCOMPARE_BENCH_ENCODER", "onelaunch")
+        if os.environ.get("FLOWCOMPARE_BENCH_FUSED_ENCODER", "1") == "0":
+            enc = "xla"
         main(int(manual),
              fused=os.environ.get("FLOWCOMPARE_BENCH_FUSED", "1") != "0",
-             fused_encoder=os.environ.get("FLOWCOMPARE_BENCH_FUSED_ENCODER",
-                                          "1") != "0")
+             encoder=enc)
         return
+    _deadline()   # install the global budget before any waiting starts
+
     rung_i = int(os.environ.get("FLOWCOMPARE_BENCH_RUNG", "0"))
     if rung_i >= len(_RUNGS):
         _emit_stale("compile host rejected every ladder configuration")
         return
+
+    # bounded wait for a mid-restart TPU worker, BEFORE any watchdog starts:
+    # a plain chip outage must surface as "worker unreachable" at rung 0,
+    # not be misattributed to the compile host after walking the ladder.
+    # Budget-capped so a long outage still leaves room for one rung attempt
+    # (or, failing that, the stale emission).
+    wait_cap = max(60.0, min(1800.0, _remaining() - _MIN_FUSED_WATCHDOG_S
+                             - _STALE_RESERVE_S))
+    if not _wait_for_chip(wait_cap):
+        _emit_stale(f"TPU worker unreachable (waited {wait_cap:.0f}s)")
+        return
+
     rung = _RUNGS[rung_i]
-    if (not (rung["fused"] and rung["fused_encoder"])
-            and _load_last_good() is not None):
+    if not _is_full_config(rung) and _load_last_good() is not None:
         # entering the degraded rungs: a recorded full-config measurement
         # (labeled stale) beats a fresh measurement with kernels disabled
         _emit_stale("compile host cannot fit the fused program; "
@@ -280,33 +356,46 @@ def _main_with_rungs():
                     "full-config measurement")
         return
 
-    done = threading.Event()
+    if rung_i > 0 and rung["encoder"] == "onelaunch":
+        # a one-launch retry is only worth the budget if the compile-health
+        # canary clears the known killer; a failed canary means the host is
+        # in the degraded state and this configuration cannot compile
+        canary_t = min(300.0, _remaining() - _STALE_RESERVE_S - 60.0)
+        if canary_t < 60.0 or not _encoder_canary_ok(canary_t):
+            _advance_to(rung_i + 1,
+                        "encoder-kernel compile canary failed "
+                        "(degraded compile host)")
+            return
 
-    def _advance(reason: str):
-        sys.stderr.write(f"bench: rung {rung_i} {rung} failed ({reason}); "
-                         f"advancing\n")
-        sys.stderr.flush()
-        env = dict(os.environ, FLOWCOMPARE_BENCH_RUNG=str(rung_i + 1))
-        os.execve(sys.executable, [sys.executable, _SCRIPT], env)
+    min_wd = (_MIN_FUSED_WATCHDOG_S if rung["fused"]
+              else _MIN_XLA_WATCHDOG_S)
+    watchdog_s = min(float(rung["watchdog"]),
+                     _remaining() - rung["delay"] - _STALE_RESERVE_S)
+    if watchdog_s < min_wd:
+        _emit_stale(f"budget exhausted ({_remaining():.0f}s left) before "
+                    f"rung {rung_i} could run")
+        return
+
+    done = threading.Event()
 
     def _watchdog_fire():
         if done.is_set():   # measurement finished just before the deadline
             return
-        _advance(f"watchdog {rung['watchdog']}s")
+        _advance_to(rung_i + 1, f"rung {rung_i} watchdog {watchdog_s:.0f}s")
 
     if rung["delay"]:
         time.sleep(rung["delay"])
-    dog = threading.Timer(rung["watchdog"], _watchdog_fire)
+    dog = threading.Timer(watchdog_s, _watchdog_fire)
     dog.daemon = True
     dog.start()
     try:
-        main(rung["chunk"], fused=rung["fused"],
-             fused_encoder=rung["fused_encoder"])
+        main(rung["chunk"], fused=rung["fused"], encoder=rung["encoder"])
         done.set()
     except Exception as e:
         done.set()
         dog.cancel()
-        _advance(repr(e)[:300])
+        _advance_to(rung_i + 1, f"rung {rung_i} failed: {repr(e)[:300]}")
+        return
     dog.cancel()
 
 

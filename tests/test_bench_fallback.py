@@ -2,17 +2,20 @@
 
 The compile-host outage of 2026-08-20 (remote tpu_compile_helper SIGKILLed
 on every program containing a large Pallas kernel) made the headline bench
-walk a ladder of smaller configurations and, at the end, emit the last
-recorded measurement labeled stale. These tests cover the chip-independent
-pieces: the stale emission, its artifact fallback chain, and the ladder's
-shape invariants. The ladder's live behavior (re-exec on compile failure)
-was exercised on the real chip during the outage itself.
+walk a ladder of smaller configurations; the round-2 driver run then
+TIMED OUT inside that ladder (BENCH_r02.json rc=124) because the ladder
+had no global deadline. These tests cover the chip-independent pieces:
+the stale emission and its artifact chain, the global-deadline math, the
+compile-health canary gating, and the ladder's shape invariants. The
+ladder's live behavior (re-exec on compile failure) was exercised on the
+real chip during the outage itself.
 """
 
 import importlib.util
 import json
 import os
 import sys
+import time
 
 import pytest
 
@@ -28,15 +31,32 @@ def bench():
     return mod
 
 
+@pytest.fixture(autouse=True)
+def _clean_env(monkeypatch):
+    """Each test controls its own budget/deadline/rung environment."""
+    for var in ("FLOWCOMPARE_BENCH_DEADLINE", "FLOWCOMPARE_BENCH_BUDGET",
+                "FLOWCOMPARE_BENCH_RUNG", "FLOWCOMPARE_BENCH_CHUNK",
+                "FLOWCOMPARE_BENCH_PRESET", "FLOWCOMPARE_BENCH_ENCODER"):
+        monkeypatch.delenv(var, raising=False)
+    yield
+
+
 def _stale_output(bench, capsys, why="test outage"):
     bench._emit_stale(why)
     return json.loads(capsys.readouterr().out.strip())
 
 
+def _fail_if_called(name):
+    def fn(*a, **k):
+        pytest.fail(f"{name} must not be called")
+    return fn
+
+
 def test_emit_stale_prefers_last_good(bench, capsys, tmp_path, monkeypatch):
     last = {"metric": "points/sec/chip (nats eval, dulcet-universe)",
             "value": 123456.0, "unit": "points/sec", "vs_baseline": 1.646,
-            "recorded": "2026-08-19"}
+            "baseline": "estimated-a100", "recorded": "2026-08-19",
+            "runs": [123000.0, 123456.0, 124000.0], "spread_pct": 0.8}
     p = tmp_path / "last.json"
     p.write_text(json.dumps(last))
     monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
@@ -44,24 +64,26 @@ def test_emit_stale_prefers_last_good(bench, capsys, tmp_path, monkeypatch):
     assert out["stale"] is True
     assert out["value"] == last["value"]
     assert out["vs_baseline"] == last["vs_baseline"]
+    assert out["baseline"] == "estimated-a100"
+    assert out["runs"] == last["runs"]          # spread survives the relabel
+    assert out["spread_pct"] == last["spread_pct"]
     assert "STALE" in out["metric"] and "2026-08-19" in out["metric"]
     assert "test outage" in out["metric"]
 
 
-def test_emit_stale_falls_back_to_committed_headline(bench, capsys,
-                                                     monkeypatch, tmp_path):
-    monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "missing.json"))
-    out = _stale_output(bench, capsys)
-    committed = json.load(open(os.path.join(
-        ROOT, "save", "bench", "bench_headline_transposed.json")))
-    assert out["stale"] is True
-    assert out["value"] == committed["value"]
+def test_committed_authoritative_artifact_is_the_fallback(bench):
+    """The stale chain reads exactly ONE file — the committed authoritative
+    headline artifact — so a fallback can only republish the reconciled
+    number, never a best-ever outlier from a side artifact."""
+    committed = json.load(open(bench._LAST_GOOD))
+    assert bench._load_last_good() == committed
+    assert committed["value"] > 0
+    assert committed.get("baseline") == "estimated-a100"
 
 
 def test_emit_stale_without_any_artifact_raises(bench, monkeypatch,
                                                 tmp_path):
     monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "a.json"))
-    monkeypatch.setattr(bench, "_ROOT", str(tmp_path))
     with pytest.raises(SystemExit):
         bench._emit_stale("nothing recorded")
 
@@ -78,12 +100,12 @@ def test_degraded_rungs_prefer_recorded_full_measurement(
     p.write_text(json.dumps(last))
     monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
     degraded = next(i for i, r in enumerate(bench._RUNGS)
-                    if not (r["fused"] and r["fused_encoder"]))
+                    if not bench._is_full_config(r))
     monkeypatch.setenv("FLOWCOMPARE_BENCH_RUNG", str(degraded))
-    monkeypatch.delenv("FLOWCOMPARE_BENCH_CHUNK", raising=False)
     monkeypatch.setattr(bench, "_wait_for_chip", lambda *a, **k: True)
-    monkeypatch.setattr(bench, "main",
-                        lambda *a, **k: pytest.fail("ran degraded bench"))
+    monkeypatch.setattr(bench, "main", _fail_if_called("degraded bench"))
+    monkeypatch.setattr(bench, "_encoder_canary_ok",
+                        _fail_if_called("canary"))
     bench._main_with_rungs()
     out = json.loads(capsys.readouterr().out.strip())
     assert out["stale"] is True and out["value"] == 99999.0
@@ -99,13 +121,96 @@ def test_chip_unreachable_emits_stale_with_correct_label(
     p.write_text(json.dumps(last))
     monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
     monkeypatch.setattr(bench, "_wait_for_chip", lambda *a, **k: False)
-    monkeypatch.setattr(bench, "main",
-                        lambda *a, **k: pytest.fail("touched the backend"))
-    monkeypatch.delenv("FLOWCOMPARE_BENCH_RUNG", raising=False)
-    monkeypatch.delenv("FLOWCOMPARE_BENCH_CHUNK", raising=False)
+    monkeypatch.setattr(bench, "main", _fail_if_called("backend touch"))
     bench._main_with_rungs()
     out = json.loads(capsys.readouterr().out.strip())
     assert out["stale"] is True and "unreachable" in out["metric"]
+
+
+def test_chip_wait_is_budget_capped(bench, capsys, tmp_path, monkeypatch):
+    """With most of the budget gone, the chip wait must shrink so the
+    stale emission still fits inside the deadline."""
+    last = {"metric": "m", "value": 1.0, "unit": "points/sec",
+            "vs_baseline": 0.1}
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps(last))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_DEADLINE",
+                       repr(time.time() + 600.0))
+    seen = {}
+
+    def fake_wait(cap):
+        seen["cap"] = cap
+        return False
+
+    monkeypatch.setattr(bench, "_wait_for_chip", fake_wait)
+    bench._main_with_rungs()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["stale"] is True
+    # 600s left - 240 (min fused watchdog) - 45 (stale reserve) ~= 315
+    assert 60.0 <= seen["cap"] <= 330.0
+
+
+def test_deadline_exhaustion_emits_stale_before_running(
+        bench, capsys, tmp_path, monkeypatch):
+    """Too little budget for even the minimum watchdog -> emit the recorded
+    measurement instead of starting a rung that cannot finish."""
+    last = {"metric": "m", "value": 7.0, "unit": "points/sec",
+            "vs_baseline": 0.1}
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps(last))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_DEADLINE",
+                       repr(time.time() + 120.0))
+    monkeypatch.setattr(bench, "_wait_for_chip", lambda cap: True)
+    monkeypatch.setattr(bench, "main", _fail_if_called("rung"))
+    bench._main_with_rungs()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["stale"] is True and "budget exhausted" in out["metric"]
+
+
+def test_canary_failure_skips_the_onelaunch_retry(bench, tmp_path,
+                                                  monkeypatch):
+    """Rung 1 (the delayed full-config retry) must consult the encoder
+    compile canary and jump PAST the known-bad configuration when it
+    fails, instead of burning a watchdog re-proving the failure."""
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "missing.json"))
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_RUNG", "1")
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_DEADLINE",
+                       repr(time.time() + 1200.0))
+    monkeypatch.setattr(bench, "_wait_for_chip", lambda cap: True)
+    monkeypatch.setattr(bench, "_encoder_canary_ok", lambda t: False)
+    monkeypatch.setattr(bench, "main", _fail_if_called("rung 1 bench"))
+    seen = {}
+
+    def fake_reexec(env):
+        seen["rung"] = env["FLOWCOMPARE_BENCH_RUNG"]
+        raise SystemExit(0)   # stand-in for the process being replaced
+
+    monkeypatch.setattr(bench, "_reexec", fake_reexec)
+    with pytest.raises(SystemExit):
+        bench._main_with_rungs()
+    assert seen["rung"] == "2"
+    assert bench._RUNGS[1]["encoder"] == "onelaunch"  # what was skipped
+
+
+def test_canary_pass_runs_the_retry(bench, tmp_path, monkeypatch):
+    """A passing canary means the failure was transient: rung 1 runs."""
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "missing.json"))
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_RUNG", "1")
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_DEADLINE",
+                       repr(time.time() + 1200.0))
+    monkeypatch.setattr(bench, "_wait_for_chip", lambda cap: True)
+    monkeypatch.setattr(bench, "_encoder_canary_ok", lambda t: True)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)  # skip delay
+    ran = {}
+    monkeypatch.setattr(
+        bench, "main",
+        lambda chunk, fused, encoder: ran.update(
+            chunk=chunk, fused=fused, encoder=encoder))
+    bench._main_with_rungs()
+    assert ran == {"chunk": bench._RUNGS[1]["chunk"], "fused": True,
+                   "encoder": "onelaunch"}
 
 
 def test_stale_never_substitutes_a_different_preset(bench, monkeypatch):
@@ -117,33 +222,37 @@ def test_stale_never_substitutes_a_different_preset(bench, monkeypatch):
         bench._emit_stale("compile host down")
 
 
-def test_last_good_recording_policy(bench, monkeypatch):
-    """_LAST_GOOD captures only representative flagship measurements."""
-    monkeypatch.delenv("FLOWCOMPARE_BENCH_BATCH", raising=False)
-    ok = bench._should_record
-    assert ok("dulcet-universe", True, True, 80)
-    assert ok("dulcet-universe", True, True, 40)
-    assert not ok("dulcet-universe", True, True, 1)     # smoke chunk
-    assert not ok("dulcet-universe", True, False, 80)   # degraded encoder
-    assert not ok("dulcet-universe", False, False, 80)  # scan path
-    assert not ok("good-surf", True, True, 80)          # non-flagship
-    monkeypatch.setenv("FLOWCOMPARE_BENCH_BATCH", "4")
-    assert not ok("dulcet-universe", True, True, 80)    # batch override
-
-
 def test_ladder_shape(bench):
     """The ladder must try the fastest configuration first, only shrink,
-    and end with the pure-XLA rung (the only one the 2026-08-20 degraded
-    compile host accepted)."""
+    end with the pure-XLA rung (the only one the 2026-08-20 degraded
+    compile host was proven to accept), and fit inside the default budget
+    in the worst case."""
     rungs = bench._RUNGS
-    assert rungs[0]["chunk"] == 80 and rungs[0]["fused"]
+    assert rungs[0]["chunk"] == 80 and bench._is_full_config(rungs[0])
     chunks = [r["chunk"] for r in rungs]
     assert chunks == sorted(chunks, reverse=True)
-    assert not rungs[-1]["fused"] and not rungs[-1]["fused_encoder"]
+    assert not rungs[-1]["fused"] and rungs[-1]["encoder"] == "xla"
     # degradation is monotone: once a kernel is dropped it stays dropped
+    order = {"onelaunch": 0, "stages": 1, "xla": 2}
     for a, b in zip(rungs, rungs[1:]):
         assert a["fused"] >= b["fused"]
-        assert a["fused_encoder"] >= b["fused_encoder"]
-    assert all(r["watchdog"] >= 600 for r in rungs)
-    # exactly one delayed-retry rung to ride out transient host pressure
-    assert sum(1 for r in rungs if r["delay"]) == 1
+        assert order[a["encoder"]] <= order[b["encoder"]]
+    assert all(r["watchdog"] >= 300 for r in rungs)
+    # exactly one delayed-retry rung to ride out transient host pressure,
+    # and it is the canary-gated one-launch retry
+    delayed = [r for r in rungs if r["delay"]]
+    assert len(delayed) == 1 and delayed[0]["encoder"] == "onelaunch"
+    # worst realistic walk (rung 0 + canary + stale emission) fits the
+    # default budget with the chip-wait cap doing the remaining squeeze
+    worst = (rungs[0]["watchdog"] + 300  # canary cap
+             + bench._STALE_RESERVE_S)
+    assert worst < bench._DEFAULT_BUDGET_S
+
+
+def test_deadline_is_installed_and_inherited(bench, monkeypatch):
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_BUDGET", "900")
+    d = bench._deadline()
+    assert 890 <= d - time.time() <= 905
+    # a re-exec'd child sees the SAME deadline, not a fresh budget
+    assert os.environ["FLOWCOMPARE_BENCH_DEADLINE"] == repr(d)
+    assert bench._deadline() == d

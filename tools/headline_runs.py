@@ -1,0 +1,99 @@
+"""Authoritative headline artifact: median of N fresh full-config runs.
+
+Round-2 left two same-config headline measurements 13% apart (386.7k vs
+341.2k pts/s — worker-to-worker variance), and the stale-fallback chain
+preferred the optimistic one. This tool is the ONLY writer of
+save/bench/bench_last_headline.json: it runs the full-config bench
+(chunk 80, one-launch encoder, fused flow megakernel) N>=3 times in fresh
+processes with fresh salts on the SAME worker session, and records the
+median, the per-run values, the spread, and a worker fingerprint. bench.py
+reads exactly this file for its stale fallback, so a degraded round can
+only republish the reconciled number.
+
+Usage:  python tools/headline_runs.py [N]        (default N=3)
+Env:    FLOWCOMPARE_HEADLINE_OUT to redirect the artifact (testing).
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.environ.get(
+    "FLOWCOMPARE_HEADLINE_OUT",
+    os.path.join(ROOT, "save", "bench", "bench_last_headline.json"))
+PER_RUN_TIMEOUT_S = 900
+
+
+def _worker_fingerprint() -> str:
+    """Best-effort identity of the attached TPU worker session. The tunnel
+    exposes no stable worker id, so fingerprint = device repr + the boot
+    timestamp bucket (a worker restart between runs would show up as a
+    throughput step anyway — the per-run timestamps below bound it)."""
+    probe = ("import jax; d = jax.devices()[0];"
+             "print(repr(d), getattr(d, 'id', '?'))")
+    try:
+        p = subprocess.run([sys.executable, "-c", probe], timeout=120,
+                           capture_output=True, text=True)
+        if p.returncode == 0:
+            return p.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    return "unknown"
+
+
+def _one_run(i: int) -> dict:
+    env = dict(os.environ, FLOWCOMPARE_BENCH_CHUNK="80")
+    env.pop("FLOWCOMPARE_BENCH_RUNG", None)
+    env.pop("FLOWCOMPARE_BENCH_PRESET", None)
+    env.pop("FLOWCOMPARE_BENCH_BATCH", None)
+    t0 = time.time()
+    p = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
+                       env=env, timeout=PER_RUN_TIMEOUT_S,
+                       capture_output=True, text=True)
+    if p.returncode != 0:
+        raise RuntimeError(f"run {i} failed rc={p.returncode}:\n"
+                           f"{p.stderr[-1500:]}")
+    line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    if res.get("stale") or res.get("degraded"):
+        raise RuntimeError(f"run {i} was not a fresh full-config "
+                           f"measurement: {res}")
+    res["t_wall"] = round(time.time() - t0, 1)
+    res["at"] = time.strftime("%H:%M:%S")
+    return res
+
+
+def main(n: int = 3):
+    assert n >= 3, "the authoritative artifact needs >= 3 runs"
+    worker = _worker_fingerprint()
+    runs = [_one_run(i) for i in range(n)]
+    values = [r["value"] for r in runs]
+    med = statistics.median(values)
+    artifact = {
+        "metric": runs[0]["metric"],
+        "value": round(med, 1),
+        "unit": runs[0]["unit"],
+        "vs_baseline": round(med / 75_000.0, 3),
+        "baseline": "estimated-a100",
+        "runs": values,
+        "spread_pct": round((max(values) - min(values)) / med * 100, 1),
+        "run_times": [r["at"] for r in runs],
+        "worker": worker,
+        "recorded": time.strftime("%Y-%m-%d"),
+        "chunk": 80,
+        "preset": "dulcet-universe",
+    }
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    tmp = OUT + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(artifact, f, indent=1)
+    os.replace(tmp, OUT)
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3)
