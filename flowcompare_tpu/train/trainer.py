@@ -29,6 +29,7 @@ from typing import Any, Iterable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from ..model import FlowCompareModel, inner_loop, make_sample
 from . import checkpoint as ckpt
@@ -78,6 +79,11 @@ def _build_step_fn(model: FlowCompareModel):
 
         (loss, (nats, new_bn)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.bn_state)
+        # pre-clip global grad norm: a mesh-parity witness (a sharding bug
+        # that mis-reduces gradients moves this even when the loss agrees)
+        # and the observability signal the reference's clip_grad_norm
+        # returned (train.py:114)
+        grad_norm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = apply_updates_with_lr(state.params, updates, state.plateau.lr)
         new_plateau = plateau_update(
@@ -86,7 +92,8 @@ def _build_step_fn(model: FlowCompareModel):
         new_state = TrainState(
             params=new_params, bn_state=new_bn, opt_state=new_opt,
             plateau=new_plateau, step=state.step + 1, rng=rng)
-        metrics = {"loss": loss, "nats": nats, "lr": state.plateau.lr}
+        metrics = {"loss": loss, "nats": nats, "lr": state.plateau.lr,
+                   "grad_norm": grad_norm}
         return new_state, metrics
 
     return step_fn

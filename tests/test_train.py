@@ -127,26 +127,45 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_train_step_on_8_device_mesh():
+def test_train_step_on_8_device_mesh_matches_single_device():
     """Full jitted train step, batch sharded over data axis, weights over
-    model axis — the multi-chip path on the fake CPU mesh."""
+    model axis — the multi-chip path on the fake CPU mesh. Not just
+    liveness: loss, the pre-clip global grad norm, and the UPDATED PARAMS
+    must reproduce the unsharded single-device step (the gradient
+    equivalence nn.DataParallel guaranteed in the reference,
+    model_initialization.py:186-188); a sharding bug that silently
+    mis-reduces gradients fails here."""
     assert jax.device_count() == 8
     cfg = tiny_config()
     model = FlowCompareModel(cfg)
-    mesh = make_mesh(n_data=4, n_model=2)
-    state = init_train_state(model, jax.random.PRNGKey(0))
-    state = state._replace(params=shard_params(state.params, mesh))
     ds = _dataset(cfg)
-    batch = next(iter(ds))
-    batch = shard_batch(tuple(jnp.asarray(x) if x is not None else None
-                              for x in batch), mesh)
-    step = make_train_step(model, mesh)
-    state, metrics = step(state, batch)
-    assert np.isfinite(float(metrics["loss"]))
-    # second step re-uses the compiled fn
-    state, metrics2 = step(state, batch)
+    raw = tuple(jnp.asarray(x) if x is not None else None
+                for x in next(iter(ds)))
+
+    # single-device reference step (init is deterministic in the key)
+    state_1 = init_train_state(model, jax.random.PRNGKey(0))
+    step_1 = make_train_step(model)
+    state_1, metrics_1 = step_1(state_1, raw)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    state_8 = init_train_state(model, jax.random.PRNGKey(0))
+    state_8 = state_8._replace(params=shard_params(state_8.params, mesh))
+    step_8 = make_train_step(model, mesh)
+    state_8, metrics_8 = step_8(state_8, shard_batch(raw, mesh))
+
+    np.testing.assert_allclose(float(metrics_8["loss"]),
+                               float(metrics_1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(metrics_8["grad_norm"]),
+                               float(metrics_1["grad_norm"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.params),
+                    jax.tree_util.tree_leaves(state_8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+    # second step re-uses the compiled fn and advances
+    state_8, metrics2 = step_8(state_8, shard_batch(raw, mesh))
     assert np.isfinite(float(metrics2["loss"]))
-    assert float(metrics2["loss"]) != float(metrics["loss"])
+    assert float(metrics2["loss"]) != float(metrics_8["loss"])
 
 
 def test_resume_from_checkpoint(tmp_path):
