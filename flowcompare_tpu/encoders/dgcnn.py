@@ -187,11 +187,16 @@ def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
         params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
         x = x.astype(dtype)
     # compiled-Pallas paths need a real TPU backend; on CPU fall back to the
-    # gather formulation (same math) instead of failing to lower
+    # gather formulation (same math) instead of failing to lower. They are
+    # also SINGLE-DEVICE programs: under a multi-device mesh the kernels
+    # have never been compiled inside SPMD, so fall back there too (same
+    # contract as the flow megakernel — model._can_fuse_layers,
+    # docs/kernels.md).
+    on_tpu = (jax.default_backend() == "tpu" and jax.device_count() == 1)
     use_fused = fused and not training and (
-        jax.default_backend() == "tpu" or _FORCE_FUSED_EVAL_INTERPRET)
+        on_tpu or _FORCE_FUSED_EVAL_INTERPRET)
     use_fused_train = fused and training and (
-        jax.default_backend() == "tpu" or _FORCE_FUSED_TRAIN_INTERPRET)
+        on_tpu or _FORCE_FUSED_TRAIN_INTERPRET)
     if use_fused and _ONE_LAUNCH:
         from ..ops.dgcnn_pallas import fused_dgcnn_encoder
         new_state = {f"bn{i}": state[f"bn{i}"] for i in range(1, 6)}

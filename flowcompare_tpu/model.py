@@ -41,6 +41,15 @@ from .flows.distributions import (
 
 LOG2E = math.log2(math.e)
 
+# one-time warning latch for the fused-kernels-under-multi-device fallback
+_MULTIDEVICE_FUSE_WARNED: list = []
+
+# Testing hook: bypass the TPU-backend requirement of _can_fuse_layers so
+# CPU tests can TRACE the fused paths (jax.make_jaxpr / eval_shape only —
+# the kernels cannot execute off-TPU; tests/test_model.py uses this to
+# validate the shard_map wrapper structure on the 8-device CPU mesh).
+_FORCE_FUSE_FOR_TRACE = False
+
 
 def _tree_stack(trees):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *trees)
@@ -57,10 +66,10 @@ class FlowCompareModel:
     """
 
     _JIT_STATIC_FLAGS = frozenset(
-        {"remat", "fused_layers", "compute_dtype", "_dt"})
+        {"remat", "fused_layers", "compute_dtype", "_dt", "fused_mesh"})
 
     def __init__(self, config: dict, *, remat: bool = True,
-                 fused_layers: bool = False):
+                 fused_layers: bool = False, fused_mesh=None):
         config = derive(dict(config))
         self.config = config
         self.nonlin = NONLINEARITIES[config["coupling_block_nonlinearity"]]
@@ -76,6 +85,17 @@ class FlowCompareModel:
         # eval-only fused layer megakernel (ops/flow_layer_pallas.py);
         # enabled explicitly by eval/bench paths via this option
         self.fused_layers = fused_layers
+        # Multi-device contract (docs/kernels.md): the megakernels are
+        # single-device programs. fused_mesh opts into running them under
+        # SPMD anyway via a shard_map wrapper with BATCH-axis sharding
+        # over the mesh's 'data' axis (each device runs the whole kernel
+        # on its batch shard; weights replicated — the kernels are
+        # embarrassingly parallel over items). Without it, multi-device
+        # falls back to the folded scan.
+        if fused_mesh is not None and "data" not in fused_mesh.axis_names:
+            raise ValueError("fused_mesh needs a 'data' axis "
+                             f"(got {fused_mesh.axis_names})")
+        self.fused_mesh = fused_mesh
         # Mixed-precision policy: matmuls/activations in compute_dtype
         # (bfloat16 on TPU for MXU rate), parameters and all ldj / log-prob
         # accumulation in float32 — replaces the reference's (disabled) AMP
@@ -118,6 +138,7 @@ class FlowCompareModel:
     def with_options(self, *, remat: Optional[bool] = None,
                      fused_layers: Optional[bool] = None,
                      compute_dtype: Optional[str] = None,
+                     fused_mesh="unchanged",
                      **config_overrides) -> "FlowCompareModel":
         """A new model sharing this config, with jit-static options changed."""
         cfg = dict(self.config, **config_overrides)
@@ -127,7 +148,9 @@ class FlowCompareModel:
             cfg,
             remat=self.remat if remat is None else remat,
             fused_layers=(self.fused_layers if fused_layers is None
-                          else fused_layers))
+                          else fused_layers),
+            fused_mesh=(self.fused_mesh if fused_mesh == "unchanged"
+                        else fused_mesh))
 
     # ------------------------------------------------------------- builders
 
@@ -455,12 +478,89 @@ class FlowCompareModel:
         c = self.config
         # TPU-compiled only: the kernel relies on sequential grid execution
         # for its layer-carry aliasing, which interpret mode does not honor
-        return (self.fused_layers and jax.default_backend() == "tpu"
-                and not self.is_cif
-                and self.flow_type == "AffineCoupling"
-                and c["affine_scale_fn"] == "sigmoid"
-                and self.permuter_type == "LinearLU" and self.use_act_norm
-                and self._dt == jnp.bfloat16)
+        eligible = ((jax.default_backend() == "tpu" or _FORCE_FUSE_FOR_TRACE)
+                    and self.fused_layers
+                    and not self.is_cif
+                    and self.flow_type == "AffineCoupling"
+                    and c["affine_scale_fn"] == "sigmoid"
+                    and self.permuter_type == "LinearLU" and self.use_act_norm
+                    and self._dt == jnp.bfloat16)
+        if eligible and jax.device_count() > 1 and self.fused_mesh is None:
+            # CONTRACT (docs/kernels.md): the megakernels are single-device
+            # programs — under an SPMD mesh XLA would have to partition the
+            # pallas_call itself (never compiled, undefined behavior). Fall
+            # back to the folded scan (same graph family, fully
+            # SPMD-partitionable) instead of letting a multi-chip user
+            # silently hit an unvalidated path. Opting into batch-axis
+            # shard_map over the kernels is supported via the `fused_mesh`
+            # constructor option; see docs/kernels.md.
+            if not _MULTIDEVICE_FUSE_WARNED:
+                _MULTIDEVICE_FUSE_WARNED.append(True)
+                import warnings
+                warnings.warn(
+                    "fused_layers requested on a multi-device backend "
+                    f"({jax.device_count()} devices): the flow megakernel "
+                    "is validated single-device only; falling back to the "
+                    "folded scan path (pass fused_mesh=... to run the "
+                    "kernels batch-sharded under shard_map — "
+                    "docs/kernels.md)")
+            return False
+        return eligible
+
+    def _batchwise(self, fn, batch_args, replicated_args):
+        """Run `fn(*batch_args, *replicated_args)` under shard_map with the
+        batch (leading) axis of every batch_arg sharded over fused_mesh's
+        'data' axis and replicated_args broadcast — the supported way to
+        use the single-device Pallas megakernels on a multi-device mesh
+        (each device executes the whole kernel on its batch shard; the
+        kernels are embarrassingly parallel over items, so no collectives
+        are needed and outputs concatenate along the batch axis)."""
+        if self.fused_mesh is None:
+            return fn(*batch_args, *replicated_args)
+        try:
+            from jax import shard_map
+        except ImportError:  # pre-0.8 jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        import jax.tree_util as jtu
+        n_data = self.fused_mesh.shape["data"]
+        b = next(a.shape[0] for a in batch_args if a is not None)
+        if b % n_data != 0:
+            raise ValueError(
+                f"fused_mesh: batch {b} not divisible by the 'data' axis "
+                f"size {n_data}")
+        # Only ARRAY leaves may cross the shard_map boundary — the folded
+        # kernel stacks also carry static Python ints (layer counts etc.)
+        # that the kernel builders consume as plain ints; shard_map would
+        # tracer-ify them. Keep the statics in the closure.
+        flat_defs = []
+        arr_operands = []
+        for r in replicated_args:
+            leaves, tdef = jtu.tree_flatten(r)
+            mask = [hasattr(l, "shape") and hasattr(l, "dtype")
+                    for l in leaves]
+            flat_defs.append((tdef, leaves, mask))
+            arr_operands.append([l for l, m in zip(leaves, mask) if m])
+
+        n_batch = len(batch_args)
+
+        def body(*args):
+            reps = []
+            for (tdef, leaves, mask), arrs in zip(flat_defs,
+                                                  args[n_batch:]):
+                it = iter(arrs)
+                merged = [next(it) if m else l
+                          for l, m in zip(leaves, mask)]
+                reps.append(jtu.tree_unflatten(tdef, merged))
+            return fn(*args[:n_batch], *reps)
+
+        in_specs = tuple(P("data") if a is not None else P()
+                         for a in batch_args)
+        in_specs += tuple(P() for _ in arr_operands)
+        wrapped = shard_map(
+            body, mesh=self.fused_mesh, in_specs=in_specs,
+            out_specs=P("data"), check_vma=False)
+        return wrapped(*batch_args, *arr_operands)
 
     def _layer_keys(self, rng):
         """Per-layer keys for CIF blocks (their augment/slice sample)."""
@@ -492,8 +592,9 @@ class FlowCompareModel:
                 params["augmenter"], input_dim=self.input_dim,
                 extra_dim=(extra_context.shape[-1]
                            if extra_context is not None else 0))
-            x, ldj = _flp.fused_augmenter(x, eps, context, extra_context,
-                                          folded_aug)
+            x, ldj = self._batchwise(_flp.fused_augmenter,
+                                     (x, eps, context, extra_context),
+                                     (folded_aug,))
         else:
             x, ldj = self._augment_fwd(params["augmenter"], rng, x, context,
                                        extra_context)
@@ -517,8 +618,9 @@ class FlowCompareModel:
             # jax.grad the segmented backward megakernel runs instead of
             # XLA autodiff (ops/flow_layer_vjp_pallas). Gradients reach the
             # raw params through the fold_stacks einsums above.
-            x, ldj = fused_flow_layers_trainable(
-                x, ldj, context, extra_context, stacks)
+            x, ldj = self._batchwise(fused_flow_layers_trainable,
+                                     (x, ldj, context, extra_context),
+                                     (stacks,))
             return ldj + standard_normal_logprob(x)
 
         if self._can_fold_scan():
@@ -586,9 +688,9 @@ class FlowCompareModel:
                 stacks, split=self.latent_dim // 2,
                 extra_dim=(extra_context.shape[-1]
                            if extra_context is not None else 0))
-            z = fused_flow_layers_inverse(
-                z, context, extra_context,
-                fold_stacks_inverse(stacks, folded))
+            z = self._batchwise(fused_flow_layers_inverse,
+                                (z, context, extra_context),
+                                (fold_stacks_inverse(stacks, folded),))
             return z[..., : self.input_dim]
 
         z = self._block_inv(params["final_block"], z, context, extra_context,

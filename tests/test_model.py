@@ -220,3 +220,78 @@ def test_jit_static_flags_frozen_after_init():
     assert fast.fused_layers and fast.compute_dtype == jnp.bfloat16
     assert fast.remat is False  # inherited
     assert model.fused_layers is False  # original untouched
+
+
+def test_batchwise_shard_map_plumbing_matches_direct():
+    """model._batchwise (the fused-kernels-under-mesh wrapper) must be a
+    semantic no-op for per-item-independent functions: batch args sharded
+    over 'data', replicated args broadcast, None args passed through."""
+    from jax.sharding import Mesh
+
+    cfg = tiny_config(compute_dtype="bfloat16")
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    model = FlowCompareModel(cfg, fused_layers=True, fused_mesh=mesh,
+                             remat=False)
+
+    def kernel_standin(x, ldj, ctx, extra, stacks):
+        y = x * stacks["scale"] + ctx.sum(-1, keepdims=True)
+        if extra is not None:
+            y = y + extra
+        return y, ldj + jnp.sum(y, axis=-1)
+
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k0, (8, 16, 4))
+    ldj = jnp.zeros((8, 16))
+    ctx = jax.random.normal(k1, (8, 16, 6))
+    stacks = {"scale": jnp.asarray(1.5)}
+    for extra in (None, jax.random.normal(k2, (8, 16, 1))):
+        direct = kernel_standin(x, ldj, ctx, extra, stacks)
+        wrapped = model._batchwise(kernel_standin, (x, ldj, ctx, extra),
+                                   (stacks,))
+        for a, b in zip(direct, wrapped):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+    # batch not divisible by the data axis -> loud error, not silent skew
+    import pytest
+    with pytest.raises(ValueError, match="not divisible"):
+        model._batchwise(kernel_standin,
+                         (x[:6], ldj[:6], ctx[:6], None), (stacks,))
+
+
+def test_fused_mesh_path_traces_with_shard_map():
+    """The REAL fused megakernel path under fused_mesh must trace (shapes +
+    shard_map structure) — it can only execute on TPU, but the jaxpr is
+    backend-independent, so the 8-device CPU mesh validates that a
+    multi-chip user gets a well-formed SPMD program instead of an
+    unpartitionable pallas_call."""
+    from flowcompare_tpu import model as model_mod
+    from jax.sharding import Mesh
+
+    cfg = tiny_config(compute_dtype="bfloat16")
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    model = FlowCompareModel(cfg, fused_layers=True, fused_mesh=mesh,
+                             remat=False)
+    params, state = model.init_params(jax.random.PRNGKey(0))
+    b = 8  # divisible by the 4-wide data axis
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 4)
+    batch = (
+        jax.random.normal(k0, (b, cfg["n_samples_context"], cfg["input_dim"])),
+        jax.random.normal(k1, (b, cfg["sample_size"], cfg["input_dim"])),
+        jax.random.normal(k2, (b, 1)) if cfg["using_extra_context"] else None,
+    )
+
+    old = model_mod._FORCE_FUSE_FOR_TRACE
+    model_mod._FORCE_FUSE_FOR_TRACE = True
+    try:
+        assert model._can_fuse_layers()
+        jaxpr = jax.make_jaxpr(
+            lambda p, s, bt, key: inner_loop(model, p, s, bt, rng=key,
+                                             training=False)[1])(
+            params, state, batch, k3)
+    finally:
+        model_mod._FORCE_FUSE_FOR_TRACE = old
+    text = str(jaxpr)
+    assert "shard_map" in text
+    assert "flow_layer" in text or "pallas" in text.lower()
+    assert jaxpr.out_avals[0].shape == (b, cfg["sample_size"])
