@@ -76,6 +76,7 @@ def bench_preset(preset: str) -> dict:
         "fused": bool(model._can_fuse_layers()),
         "backend": jax.default_backend(),
         "ms_per_batch": round(1000 * dt / CHUNK, 2),
+        "baseline": "estimated-a100",
     }
 
 
