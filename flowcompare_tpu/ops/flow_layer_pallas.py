@@ -69,6 +69,14 @@ _SOFTMAX_MAX = False
 # would otherwise propagate through all remaining layers) into an exact 0
 # attention output. The max-subtraction path cannot underflow (one e == 1)
 # and doesn't need it.
+# KNOWN DEVIATION (advisor round 2, severity low): in the PARTIAL-underflow
+# band — true denominator nonzero but < ~1e-30, i.e. every score in roughly
+# [-103, -88] — the eps dominates the denominator and the attention output
+# collapses toward 0, diverging from jax.nn.softmax on the scan path (which
+# max-subtracts and stays exact there). Unreachable for real logits (scores
+# are bounded by the +-80 clamp upstream of realistic activations). If
+# strict parity in that band is ever needed, clamp scores from BELOW at -80
+# (symmetric to the existing +80 clamp) instead of adding eps.
 _DENOM_EPS = 1e-30
 
 # GELU logit-poly degree-2 variant (core/mlp._GELU_LOGIT_POLY_DEG2, max err
