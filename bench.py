@@ -336,6 +336,20 @@ def _main_with_rungs():
         _emit_stale("compile host rejected every ladder configuration")
         return
 
+    rung = _RUNGS[rung_i]
+    # Degraded-rung gate FIRST — it needs no chip, and reaching a degraded
+    # rung means the fused program already failed upstream: a recorded
+    # full-config measurement (labeled stale) beats a fresh measurement
+    # with kernels disabled. (Checking before the chip wait also keeps the
+    # stale label accurate — the worker often restarts right after the
+    # compile-helper SIGKILLs, and a probe here would misattribute the
+    # compile failure to a worker outage.)
+    if not _is_full_config(rung) and _load_last_good() is not None:
+        _emit_stale("compile host cannot fit the fused program; "
+                    "degraded-kernel rungs skipped in favor of the last "
+                    "full-config measurement")
+        return
+
     # bounded wait for a mid-restart TPU worker, BEFORE any watchdog starts:
     # a plain chip outage must surface as "worker unreachable" at rung 0,
     # not be misattributed to the compile host after walking the ladder.
@@ -345,15 +359,6 @@ def _main_with_rungs():
                              - _STALE_RESERVE_S))
     if not _wait_for_chip(wait_cap):
         _emit_stale(f"TPU worker unreachable (waited {wait_cap:.0f}s)")
-        return
-
-    rung = _RUNGS[rung_i]
-    if not _is_full_config(rung) and _load_last_good() is not None:
-        # entering the degraded rungs: a recorded full-config measurement
-        # (labeled stale) beats a fresh measurement with kernels disabled
-        _emit_stale("compile host cannot fit the fused program; "
-                    "degraded-kernel rungs skipped in favor of the last "
-                    "full-config measurement")
         return
 
     if rung_i > 0 and rung["encoder"] == "onelaunch":
