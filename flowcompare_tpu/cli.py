@@ -215,6 +215,13 @@ def cmd_bench(args):
         os.environ["FLOWCOMPARE_BENCH_PRESET"] = args.preset
     if args.batch_size:
         os.environ["FLOWCOMPARE_BENCH_BATCH"] = str(args.batch_size)
+    if args.chunk:
+        # pins a single manual configuration (no degradation ladder)
+        os.environ["FLOWCOMPARE_BENCH_CHUNK"] = str(args.chunk)
+    if args.encoder:
+        os.environ["FLOWCOMPARE_BENCH_ENCODER"] = args.encoder
+    if args.budget:
+        os.environ["FLOWCOMPARE_BENCH_BUDGET"] = str(args.budget)
     runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench.py"), run_name="__main__")
 
@@ -296,6 +303,15 @@ def main(argv=None):
     b.add_argument("--preset", default=None,
                    help="config preset to benchmark (default dulcet-universe)")
     b.add_argument("--batch-size", type=int, default=None)
+    b.add_argument("--chunk", type=int, default=None,
+                   help="batches per compiled dispatch; pins one manual "
+                        "configuration (skips the degradation ladder)")
+    b.add_argument("--encoder", choices=["onelaunch", "stages", "xla"],
+                   default=None,
+                   help="encoder path for manual runs (default onelaunch)")
+    b.add_argument("--budget", type=float, default=None,
+                   help="global wall-clock budget in seconds for the "
+                        "ladder (default 1200)")
     b.set_defaults(fn=cmd_bench)
 
     v = sub.add_parser("view", help="Dash change-map browser")
