@@ -258,7 +258,11 @@ def main(argv=None):
                    help="override the config's batch_size")
     t.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="run K train steps per device dispatch (amortizes "
-                        "per-call overhead on remote backends)")
+                        "per-call overhead on remote backends; K=8 measured "
+                        "-13%% step time on the hosted TPU, "
+                        "save/bench/bench_train.json kernel_spd8; observable "
+                        "behavior is identical to K=1 per "
+                        "tests/test_train.py)")
     t.add_argument("--resume", default=None)
     t.add_argument("--data-parallel", action="store_true")
     add_data_args(t, packed_ok=True)
