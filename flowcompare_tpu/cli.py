@@ -106,7 +106,8 @@ def cmd_train(args):
         config["compute_dtype"] = "bfloat16"
     if getattr(args, "batch_size", None):
         config["batch_size"] = args.batch_size
-    model = FlowCompareModel(config)
+    model = FlowCompareModel(config,
+                             fused_layers=getattr(args, "fused", False))
     ds = PrefetchedDataset(_dataset(args, config, "train"))
     writer = MultiWriter(JsonlWriter(f"{args.save_dir}/metrics.jsonl"),
                          StdoutWriter())
@@ -118,7 +119,8 @@ def cmd_train(args):
           save_dir=args.save_dir, run_name=args.run_name, mesh=mesh,
           max_steps=args.steps,
           steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
-          resume_from=args.resume or None)
+          resume_from=args.resume or None,
+          save_final=getattr(args, "save_final", False))
 
 
 def cmd_evaluate(args):
@@ -264,6 +266,15 @@ def main(argv=None):
                         "behavior is identical to K=1 per "
                         "tests/test_train.py)")
     t.add_argument("--resume", default=None)
+    t.add_argument("--fused", action="store_true",
+                   help="train through the fwd+bwd Pallas megakernels "
+                        "(TPU+bf16 only; grads match bf16 autodiff to "
+                        "~0.5%%, save/bench/vjp_parity.json)")
+    t.add_argument("--save-final", action="store_true",
+                   help="also save a checkpoint at the end of the run "
+                        "(<save-dir>/<run-name>_final.msgpack), in "
+                        "addition to the reference's best-running-average "
+                        "saves")
     t.add_argument("--data-parallel", action="store_true")
     add_data_args(t, packed_ok=True)
     t.set_defaults(fn=cmd_train)

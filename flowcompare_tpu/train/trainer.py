@@ -173,7 +173,8 @@ def train(model: FlowCompareModel, dataset: Iterable, *,
           max_steps: Optional[int] = None,
           resume_from: Optional[str] = None,
           steps_per_dispatch: int = 1,
-          detect_anomaly: bool = False) -> TrainState:
+          detect_anomaly: bool = False,
+          save_final: bool = False) -> TrainState:
     """Fit loop over an iterable of (extract_0, extract_1, extra|None) batches.
 
     `dataset` is any re-iterable of numpy/jax batches (see data/loader.py);
@@ -304,6 +305,15 @@ def train(model: FlowCompareModel, dataset: Iterable, *,
             batch_ind = e + 1
             if max_steps is not None and global_step >= max_steps:
                 done = True
+    if save_final:
+        # opt-in end-of-run checkpoint, IN ADDITION to the reference's
+        # best-running-average saves (which never fire when epochs are
+        # shorter than batches_per_save)
+        ckpt.save_checkpoint(
+            os.path.join(save_dir, f"{run_name}_final.msgpack"),
+            config=c, params=state.params, state=state.bn_state,
+            opt_state=state.opt_state, plateau=state.plateau,
+            step=int(state.step))
     return state
 
 

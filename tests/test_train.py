@@ -197,3 +197,16 @@ def test_distributed_helpers_single_host():
     assert gb[0].shape == (8, 4, 6) and gb[2] is None
     # globally sharded over the data axis
     assert len(gb[0].sharding.device_set) == 8
+
+
+def test_save_final_checkpoint(tmp_path):
+    cfg = tiny_config()
+    cfg["make_samples"] = False
+    model = FlowCompareModel(cfg)
+    train(model, _dataset(cfg), key=jax.random.PRNGKey(0),
+          save_dir=str(tmp_path), run_name="r", max_steps=2,
+          save_final=True)
+    path = tmp_path / "r_final.msgpack"
+    assert path.exists()
+    loaded = load_checkpoint(str(path))
+    assert int(loaded["step"]) == 2

@@ -45,7 +45,16 @@ def main():
     # encoder megakernel (CLAUDE.md 2026-08-20) while still compiling the
     # flow megakernel.
     xla_encoder = "--xla-encoder" in sys.argv
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # --checkpoint PATH: measure with TRAINED weights (realistic log-prob
+    # spread) instead of random init; inputs stay the same synthetic draws
+    ckpt_path = None
+    argv = []
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--checkpoint":
+            ckpt_path = next(it)
+        elif not a.startswith("--"):
+            argv.append(a)
     n_batches = int(argv[0]) if argv else 20
     cfg = fc.get_config("dulcet-universe")
     B = cfg["batch_size"]
@@ -54,6 +63,12 @@ def main():
                              **({"fused_encoder": False} if xla_encoder
                                 else {}))
     params, state = base.init_params(jax.random.PRNGKey(0))
+    if ckpt_path:
+        from flowcompare_tpu.train.checkpoint import (load_checkpoint,
+                                                      restore_into)
+        loaded = load_checkpoint(ckpt_path)
+        params = restore_into(params, loaded["params"])
+        state = restore_into(state, loaded["state"])
 
     salt = int(time.time() * 1e3) % (2 ** 31)  # fresh inputs (memo tunnel)
     ks = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(11), salt), 4)
@@ -148,6 +163,8 @@ def main():
                      "(bit-exact vs the encoder kernel) vs f32 lax.scan"
                      if xla_encoder else
                      "fused bf16 megakernels vs f32 lax.scan"),
+           "weights": (f"trained checkpoint {os.path.basename(ckpt_path)}"
+                       if ckpt_path else "random init"),
            "logprob_max_abs_delta": round(lp_max_delta, 4),
            "logprob_mean_abs_delta": round(lp_mean_delta, 6),
            "thresholds": {}}
@@ -164,7 +181,9 @@ def main():
     outdir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "save", "bench")
     os.makedirs(outdir, exist_ok=True)
-    with open(os.path.join(outdir, "change_map_parity.json"), "w") as f:
+    name = ("change_map_parity_trained.json" if ckpt_path
+            else "change_map_parity.json")
+    with open(os.path.join(outdir, name), "w") as f:
         json.dump(out, f, indent=1)
 
 
