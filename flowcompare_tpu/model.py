@@ -283,8 +283,17 @@ class FlowCompareModel:
 
     # ------------------------------------------------------------ embedder
 
-    def embed(self, params, state, extract_0, *, training: bool = False):
-        """extract_0 (B, Nc, input_dim) -> per-point (B, Nc, E) or global (B, E)."""
+    def embed(self, params, state, extract_0, *, training: bool = False,
+              prefer_xla: bool = False):
+        """extract_0 (B, Nc, input_dim) -> per-point (B, Nc, E) or global (B, E).
+
+        prefer_xla: take the XLA gather formulation even where the Pallas
+        kernels are eligible — bit-exact for EVAL (docs/kernels.md) and
+        used by one-shot non-hot calls (ActNorm data-init) so they don't
+        depend on the encoder kernels compiling (the remote compile helper
+        is known to reject exactly those in its degraded state, CLAUDE.md).
+        Never set it for TRAINING on the axon TPU backend — the gather
+        formulation's chained backward is miscompiled there."""
         c = self.config
         kind = c["input_embedder"]
         if kind == "idenity":
@@ -300,7 +309,8 @@ class FlowCompareModel:
                 n_neighbors=c["n_neighbors"], training=training,
                 global_pool=self.is_global, dtype=self._dt,
                 fused=(self._dt is not None or training)
-                and c.get("fused_encoder", True))
+                and c.get("fused_encoder", True)
+                and not (prefer_xla and not training))
         else:
             out, new_emb_state = apply_pointnet2_paconv(
                 params["embedder"], state["embedder"], extract_0,

@@ -152,7 +152,12 @@ def data_init_from_batch(model: FlowCompareModel, state: TrainState,
             extra = jnp.broadcast_to(
                 extra[:, None, :],
                 (extract_1.shape[0], extract_1.shape[1], extra.shape[-1]))
-        emb, _ = model.embed(params, bn_state, extract_0, training=False)
+        # prefer_xla: the data-init embed is a one-shot eval call and the
+        # gather formulation is bit-exact there — skipping the encoder
+        # kernel keeps training startable when the remote compile helper
+        # is in its kernel-killing degraded state (CLAUDE.md)
+        emb, _ = model.embed(params, bn_state, extract_0, training=False,
+                             prefer_xla=True)
         if model.is_global:
             emb = jnp.broadcast_to(
                 emb[:, None, :], (emb.shape[0], extract_1.shape[1], emb.shape[-1]))
