@@ -799,10 +799,17 @@ def inner_loop(model: FlowCompareModel, params, state, batch, *,
 
 def make_sample(model: FlowCompareModel, params, state, key: jax.Array,
                 n_points: int, extract_0, extra_context=None,
-                sample_std: float = 0.6):
-    """Generative pass (reference make_sample, model_initialization.py:231-245)."""
+                sample_std: float = 0.6, *, prefer_xla_embed: bool = False):
+    """Generative pass (reference make_sample, model_initialization.py:231-245).
+
+    prefer_xla_embed: embed the context through the XLA gather encoder
+    (bit-exact vs the kernel in eval — docs/kernels.md); the trainer's
+    periodic sample dumps set it so a degraded compile host that rejects
+    the encoder kernels can't kill a training run at its first sampling
+    step (CLAUDE.md)."""
     extract_0 = extract_0[..., : model.input_dim]
-    emb, _ = model.embed(params, state, extract_0, training=False)
+    emb, _ = model.embed(params, state, extract_0, training=False,
+                         prefer_xla=prefer_xla_embed)
     if not model.config["using_extra_context"]:
         extra_context = None  # see inner_loop — config-gated like the reference
     if extra_context is not None:

@@ -219,8 +219,11 @@ def train(model: FlowCompareModel, dataset: Iterable, *,
 
     @partial(jax.jit, static_argnames=("n_points",))
     def sample_fn(params, bn_state, extract_0, extra, key, n_points=4000):
+        # prefer_xla_embed: periodic dumps are not a hot path; the gather
+        # embed is bit-exact in eval and keeps sampling compilable when
+        # the compile host rejects the encoder kernels (CLAUDE.md)
         return make_sample(model, params, bn_state, key, n_points,
-                           extract_0, extra)
+                           extract_0, extra, prefer_xla_embed=True)
 
     best_so_far = math.inf
     last_save_path = None
