@@ -47,9 +47,11 @@ def _worker_fingerprint() -> str:
 
 def _one_run(i: int) -> dict:
     env = dict(os.environ, FLOWCOMPARE_BENCH_CHUNK="80")
-    env.pop("FLOWCOMPARE_BENCH_RUNG", None)
-    env.pop("FLOWCOMPARE_BENCH_PRESET", None)
-    env.pop("FLOWCOMPARE_BENCH_BATCH", None)
+    for var in ("FLOWCOMPARE_BENCH_RUNG", "FLOWCOMPARE_BENCH_PRESET",
+                "FLOWCOMPARE_BENCH_BATCH", "FLOWCOMPARE_BENCH_ENCODER",
+                "FLOWCOMPARE_BENCH_FUSED", "FLOWCOMPARE_BENCH_FUSED_ENCODER",
+                "FLOWCOMPARE_BENCH_DEADLINE", "FLOWCOMPARE_BENCH_BUDGET"):
+        env.pop(var, None)
     t0 = time.time()
     p = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
                        env=env, timeout=PER_RUN_TIMEOUT_S,
