@@ -27,7 +27,11 @@ backend's REMOTE compile helper can SIGKILL large programs (the one-launch
 encoder megakernel is the proven trigger — tools/probe_compile_health2.py,
 2026-08-20) or hang outright, and the TPU worker itself can be down for
 hours. The driver runs this script under a finite timeout (~28 min
-observed), so the WORST case must still print one JSON line. Mechanism:
+observed), so for the DRIVER invocation (bare `python bench.py`, flagship
+preset, a committed recorded artifact present) the worst case must still
+print one JSON line within the budget. (Manual FLOWCOMPARE_BENCH_CHUNK
+runs and non-flagship presets are interactive tooling: they fail loudly
+instead of emitting a substitute measurement.) Mechanism:
 
   * a global wall-clock deadline (default 1200 s, FLOWCOMPARE_BENCH_BUDGET
     to override) installed in the environment on first entry and inherited
@@ -322,6 +326,14 @@ def _main_with_rungs():
     ladder (and no deadline — manual runs are interactive tooling)."""
     manual = os.environ.get("FLOWCOMPARE_BENCH_CHUNK")
     if manual is not None:
+        # bounded chip wait even for manual runs: touching jax during a
+        # worker outage blocks FOREVER in backend init (CLAUDE.md) — fail
+        # loudly instead of hanging the caller's terminal/subprocess
+        wait_s = float(os.environ.get("FLOWCOMPARE_BENCH_WAIT", "600"))
+        if not _wait_for_chip(wait_s):
+            raise SystemExit(
+                f"bench: TPU worker unreachable (waited {wait_s:.0f}s); "
+                "manual runs do not emit stale fallbacks")
         enc = os.environ.get("FLOWCOMPARE_BENCH_ENCODER", "onelaunch")
         if os.environ.get("FLOWCOMPARE_BENCH_FUSED_ENCODER", "1") == "0":
             enc = "xla"

@@ -217,12 +217,16 @@ def cmd_bench(args):
         os.environ["FLOWCOMPARE_BENCH_PRESET"] = args.preset
     if args.batch_size:
         os.environ["FLOWCOMPARE_BENCH_BATCH"] = str(args.batch_size)
-    if args.chunk:
+    if args.encoder and args.chunk is None:
+        raise SystemExit("flowcompare bench: --encoder only applies to "
+                         "manual runs; pass --chunk as well (the ladder "
+                         "picks encoder paths itself)")
+    if args.chunk is not None:
         # pins a single manual configuration (no degradation ladder)
         os.environ["FLOWCOMPARE_BENCH_CHUNK"] = str(args.chunk)
     if args.encoder:
         os.environ["FLOWCOMPARE_BENCH_ENCODER"] = args.encoder
-    if args.budget:
+    if args.budget is not None:
         os.environ["FLOWCOMPARE_BENCH_BUDGET"] = str(args.budget)
     runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench.py"), run_name="__main__")

@@ -36,6 +36,15 @@ def _read_las_numpy(path: str) -> np.ndarray:
         header = f.read(_HEADER_SIZE)
         if header[:4] != b"LASF":
             raise ValueError(f"{path}: not a LAS file (bad magic)")
+        ver_major, ver_minor = struct.unpack_from("<BB", header, 24)
+        if (ver_major, ver_minor) > (1, 3):
+            # LAS 1.4 moved the point count to a 64-bit field at offset 247
+            # and may legitimately zero the legacy u32 count this reader
+            # uses — decoding would silently return an EMPTY cloud
+            raise ValueError(
+                f"{path}: LAS {ver_major}.{ver_minor} is not supported by "
+                "the built-in reader (legacy point count may be zeroed); "
+                "install laspy to read it")
         (offset_to_points,) = struct.unpack_from("<I", header, 96)
         (fmt,) = struct.unpack_from("<B", header, 104)
         fmt &= 0x3F   # high bits flag laz compression in some writers

@@ -61,6 +61,9 @@ _FORCE_FUSED_EVAL_INTERPRET = False
 # per-stage kernels + XLA glue. Trace-time flag for chip A/B.
 _ONE_LAUNCH = True
 
+# one-time warning latch: multi-device TPU training fell back to gather
+_MULTIDEVICE_TRAIN_WARNED: list = []
+
 
 def _leaky(x):
     return jax.nn.leaky_relu(x, negative_slope=0.2)
@@ -197,6 +200,26 @@ def apply_dgcnn(params: dict, state: dict, x: jnp.ndarray, *,
         on_tpu or _FORCE_FUSED_EVAL_INTERPRET)
     use_fused_train = fused and training and (
         on_tpu or _FORCE_FUSED_TRAIN_INTERPRET)
+    if (fused and training and not use_fused_train
+            and jax.default_backend() == "tpu" and jax.device_count() > 1
+            and not _MULTIDEVICE_TRAIN_WARNED):
+        # Falling back to the gather formulation for TRAINING is only safe
+        # where autodiff is trustworthy. On the hosted axon backend the
+        # gather path's chained backward is silently miscompiled
+        # (CLAUDE.md) — that backend is single-chip, so this branch cannot
+        # trigger there, but warn loudly anyway: multi-chip training has
+        # no validated fused-encoder path yet and gradient correctness now
+        # rests on the platform's XLA autodiff being sound.
+        _MULTIDEVICE_TRAIN_WARNED.append(True)
+        import warnings
+        warnings.warn(
+            "DGCNN fused TRAIN kernels are single-device only; multi-device "
+            f"({jax.device_count()} devices) training falls back to the XLA "
+            "gather formulation. Its autodiff is correct on standard TPU "
+            "toolchains but was observed miscompiled on the hosted axon "
+            "backend — validate gradients against a single-device step "
+            "(tests/test_train.py mesh-parity pattern) before trusting a "
+            "long run (docs/kernels.md).")
     if use_fused and _ONE_LAUNCH:
         from ..ops.dgcnn_pallas import fused_dgcnn_encoder
         new_state = {f"bn{i}": state[f"bn{i}"] for i in range(1, 6)}

@@ -527,10 +527,17 @@ class FlowCompareModel:
         are needed and outputs concatenate along the batch axis)."""
         if self.fused_mesh is None:
             return fn(*batch_args, *replicated_args)
+        import functools
+        import inspect
         try:
             from jax import shard_map
         except ImportError:  # pre-0.8 jax
             from jax.experimental.shard_map import shard_map
+        # the replication-check kwarg was renamed check_rep -> check_vma
+        # in jax 0.8; bind whichever this version accepts
+        _params = inspect.signature(shard_map).parameters
+        _check_kw = ("check_vma" if "check_vma" in _params else "check_rep")
+        shard_map = functools.partial(shard_map, **{_check_kw: False})
         from jax.sharding import PartitionSpec as P
         import jax.tree_util as jtu
         n_data = self.fused_mesh.shape["data"]
@@ -569,7 +576,7 @@ class FlowCompareModel:
         in_specs += tuple(P() for _ in arr_operands)
         wrapped = shard_map(
             body, mesh=self.fused_mesh, in_specs=in_specs,
-            out_specs=P("data"), check_vma=False)
+            out_specs=P("data"))
         return wrapped(*batch_args, *arr_operands)
 
     def _layer_keys(self, rng):

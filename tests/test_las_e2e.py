@@ -115,3 +115,16 @@ def test_las_scene_to_training_and_eval(las_scene_dir, tmp_path):
     assert np.isfinite(nats)
     assert len(change_list) == 2 * len(ev_batches)
     assert all(0.0 <= c <= 1.0 for c in change_list)
+
+
+def test_las_14_is_rejected_by_builtin_reader(tmp_path):
+    """LAS 1.4 may zero the legacy point count the built-in reader uses —
+    must refuse loudly rather than decode an empty cloud."""
+    import struct
+    p = tmp_path / "v14.las"
+    save_las(str(p), np.zeros((4, 3)))
+    raw = bytearray(p.read_bytes())
+    struct.pack_into("<BB", raw, 24, 1, 4)  # bump version to 1.4
+    p.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="1.4"):
+        load_cloud(str(p))

@@ -73,16 +73,39 @@ def main():
     salt = int(time.time() * 1e3) % (2 ** 31)  # fresh inputs (memo tunnel)
     ks = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(11), salt), 4)
 
-    def make_batch(i):
-        """ctx0 (t0 context), target1 (t1 small), target0 (t0 small =
-        leading subset of the t0 cloud, the self-pair), extra."""
-        ctx0 = jax.random.normal(jax.random.fold_in(ks[0], i),
-                                 (B, cfg["n_samples_context"], 6))
-        target1 = jax.random.normal(jax.random.fold_in(ks[1], i),
-                                    (B, cfg["sample_size"], 6))
-        target0 = ctx0[:, :cfg["sample_size"], :]
-        extra = jax.random.normal(jax.random.fold_in(ks[2], i), (B, 1))
-        return ctx0, target1, target0, extra
+    if ckpt_path:
+        # trained weights need IN-DISTRIBUTION inputs: a model trained on
+        # the synthetic scenes produces non-finite bf16 log-probs on pure
+        # gaussian noise (observed 2026-08-20 — OOD latents overflow),
+        # which would measure pathology, not path parity
+        from flowcompare_tpu.data import SyntheticVoxelDataset
+        ds = SyntheticVoxelDataset(
+            n_items=B * 64, batch_size=B, sample_size=cfg["sample_size"],
+            n_samples_context=cfg["n_samples_context"], with_extra=True,
+            seed=salt % 65536)
+        ds_iter = iter(ds)
+
+        def make_batch(i):
+            nonlocal ds_iter
+            try:
+                ctx0, target1, extra = [jnp.asarray(t)
+                                        for t in next(ds_iter)]
+            except StopIteration:
+                ds_iter = iter(ds)
+                ctx0, target1, extra = [jnp.asarray(t)
+                                        for t in next(ds_iter)]
+            return ctx0, target1, ctx0[:, :cfg["sample_size"], :], extra
+    else:
+        def make_batch(i):
+            """ctx0 (t0 context), target1 (t1 small), target0 (t0 small =
+            leading subset of the t0 cloud, the self-pair), extra."""
+            ctx0 = jax.random.normal(jax.random.fold_in(ks[0], i),
+                                     (B, cfg["n_samples_context"], 6))
+            target1 = jax.random.normal(jax.random.fold_in(ks[1], i),
+                                        (B, cfg["sample_size"], 6))
+            target0 = ctx0[:, :cfg["sample_size"], :]
+            extra = jax.random.normal(jax.random.fold_in(ks[2], i), (B, 1))
+            return ctx0, target1, target0, extra
 
     def _both_directions(model, params, state, batch, rng):
         """lp(t1|t0) and lp(t0|t0) in one dispatch (stacked batch axis)."""
@@ -113,6 +136,7 @@ def main():
                   for h in HARD_CUTOFFS})
     lp_max_delta = 0.0
     lp_mean_delta = 0.0
+    nonfinite = {"fused": 0, "scan": 0, "mismatch": 0}
 
     for i in range(n_batches):
         batch = make_batch(1000 + i)
@@ -126,10 +150,22 @@ def main():
             raise RuntimeError(
                 "bit-identical cross-variant result — tunnel memoization "
                 "(MEASUREMENT TRAP 3); results are not trustworthy")
-        lp_max_delta = max(lp_max_delta,
-                           float(np.max(np.abs(lp10_a - lp10_b))),
-                           float(np.max(np.abs(lp00_a - lp00_b))))
-        lp_mean_delta += float(np.mean(np.abs(lp10_a - lp10_b))) / n_batches
+        # non-finite accounting (and keep the delta stats finite-only):
+        # -inf/NaN log-probs are possible in bf16 near distribution tails;
+        # clamp_infs handles them downstream exactly like the reference
+        fa = np.isfinite(lp10_a) & np.isfinite(lp00_a)
+        fb = np.isfinite(lp10_b) & np.isfinite(lp00_b)
+        nonfinite["fused"] += int((~fa).sum())
+        nonfinite["scan"] += int((~fb).sum())
+        nonfinite["mismatch"] += int((fa != fb).sum())
+        both = fa & fb
+        if both.any():
+            lp_max_delta = max(
+                lp_max_delta,
+                float(np.max(np.abs(lp10_a - lp10_b)[both])),
+                float(np.max(np.abs(lp00_a - lp00_b)[both])))
+            lp_mean_delta += float(
+                np.mean(np.abs(lp10_a - lp10_b)[both])) / n_batches
 
         def record(key, **kw):
             ca = np.asarray(log_prob_to_change(
@@ -167,6 +203,7 @@ def main():
                        if ckpt_path else "random init"),
            "logprob_max_abs_delta": round(lp_max_delta, 4),
            "logprob_mean_abs_delta": round(lp_mean_delta, 6),
+           "nonfinite_logprobs": nonfinite,
            "thresholds": {}}
     for key, s in stats.items():
         out["thresholds"][key] = {

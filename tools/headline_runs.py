@@ -75,12 +75,15 @@ def main(n: int = 3):
     runs = [_one_run(i) for i in range(n)]
     values = [r["value"] for r in runs]
     med = statistics.median(values)
+    # derive the baseline divisor from the runs themselves so this tool
+    # can never drift from bench.A100_BASELINE_POINTS_PER_SEC
+    baseline_pps = runs[0]["value"] / runs[0]["vs_baseline"]
     artifact = {
         "metric": runs[0]["metric"],
         "value": round(med, 1),
         "unit": runs[0]["unit"],
-        "vs_baseline": round(med / 75_000.0, 3),
-        "baseline": "estimated-a100",
+        "vs_baseline": round(med / baseline_pps, 3),
+        "baseline": runs[0].get("baseline", "estimated-a100"),
         "runs": values,
         "spread_pct": round((max(values) - min(values)) / med * 100, 1),
         "run_times": [r["at"] for r in runs],
