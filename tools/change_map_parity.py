@@ -47,16 +47,22 @@ def main():
     xla_encoder = "--xla-encoder" in sys.argv
     # --checkpoint PATH: measure with TRAINED weights (realistic log-prob
     # spread) instead of random init; inputs stay the same synthetic draws
+    # --preset NAME: measure another model family (PAConv / DGCNN-global
+    # presets — their encoders are XLA, so this runs even on a compile
+    # host that rejects the DGCNN encoder kernels)
     ckpt_path = None
+    preset = "dulcet-universe"
     argv = []
     it = iter(sys.argv[1:])
     for a in it:
         if a == "--checkpoint":
             ckpt_path = next(it)
+        elif a == "--preset":
+            preset = next(it)
         elif not a.startswith("--"):
             argv.append(a)
     n_batches = int(argv[0]) if argv else 20
-    cfg = fc.get_config("dulcet-universe")
+    cfg = fc.get_config(preset)
     B = cfg["batch_size"]
     base = fc.FlowCompareModel(cfg, remat=False)  # f32 scan reference
     fast = base.with_options(fused_layers=True, compute_dtype="bfloat16",
@@ -194,7 +200,7 @@ def main():
 
     out = {"n_batches": n_batches, "batch_size": B,
            "points_per_map": cfg["sample_size"],
-           "preset": "dulcet-universe",
+           "preset": preset,
            "paths": ("fused bf16 flow megakernel + bf16 XLA encoder "
                      "(bit-exact vs the encoder kernel) vs f32 lax.scan"
                      if xla_encoder else
@@ -219,7 +225,8 @@ def main():
         os.path.abspath(__file__))), "save", "bench")
     os.makedirs(outdir, exist_ok=True)
     name = ("change_map_parity_trained.json" if ckpt_path
-            else "change_map_parity.json")
+            else "change_map_parity.json" if preset == "dulcet-universe"
+            else f"change_map_parity_{preset}.json")
     with open(os.path.join(outdir, name), "w") as f:
         json.dump(out, f, indent=1)
 
