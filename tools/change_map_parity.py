@@ -47,18 +47,26 @@ def main():
     xla_encoder = "--xla-encoder" in sys.argv
     # --checkpoint PATH: measure with TRAINED weights (realistic log-prob
     # spread) instead of random init; inputs stay the same synthetic draws
-    # --preset NAME: measure another model family (PAConv / DGCNN-global
-    # presets — their encoders are XLA, so this runs even on a compile
-    # host that rejects the DGCNN encoder kernels)
+    # --preset NAME: measure another model family. NOTE degraded-host
+    # compatibility varies by family: PAConv presets (good-surf,
+    # summer-terrain) have pure-XLA encoders and always run, but the
+    # DGCNN presets (incl. helpful-sponge — its fused eval path contains
+    # the one-launch TRUNK kernel) need --xla-encoder when the compile
+    # host is rejecting encoder kernels (CLAUDE.md 2026-08-20)
     ckpt_path = None
     preset = "dulcet-universe"
     argv = []
     it = iter(sys.argv[1:])
     for a in it:
-        if a == "--checkpoint":
-            ckpt_path = next(it)
-        elif a == "--preset":
-            preset = next(it)
+        if a in ("--checkpoint", "--preset"):
+            try:
+                value = next(it)
+            except StopIteration:
+                raise SystemExit(f"{a} needs a value")
+            if a == "--checkpoint":
+                ckpt_path = value
+            else:
+                preset = value
         elif not a.startswith("--"):
             argv.append(a)
     n_batches = int(argv[0]) if argv else 20
@@ -224,9 +232,9 @@ def main():
     outdir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "save", "bench")
     os.makedirs(outdir, exist_ok=True)
-    name = ("change_map_parity_trained.json" if ckpt_path
-            else "change_map_parity.json" if preset == "dulcet-universe"
-            else f"change_map_parity_{preset}.json")
+    stem = ("change_map_parity" if preset == "dulcet-universe"
+            else f"change_map_parity_{preset}")
+    name = f"{stem}_trained.json" if ckpt_path else f"{stem}.json"
     with open(os.path.join(outdir, name), "w") as f:
         json.dump(out, f, indent=1)
 

@@ -55,9 +55,16 @@ def main():
 
     a = np.asarray(lp_direct_nomesh(params, state, batch, k3))
     b = np.asarray(lp_shardmapped_mesh1(params, state, batch, k3))
+    # equal_nan + finite-masked delta: identical -inf/NaN patterns must
+    # count as identical, not poison the statistic (-inf - -inf = NaN —
+    # MEASUREMENT TRAP 4, CLAUDE.md)
+    both_finite = np.isfinite(a) & np.isfinite(b)
     out = {
-        "bitwise_identical": bool(np.array_equal(a, b)),
-        "max_abs_delta": float(np.max(np.abs(a - b))),
+        "bitwise_identical": bool(np.array_equal(a, b, equal_nan=True)),
+        "max_abs_delta": (float(np.max(np.abs(a - b)[both_finite]))
+                          if both_finite.any() else 0.0),
+        "nonfinite": {"direct": int((~np.isfinite(a)).sum()),
+                      "shardmapped": int((~np.isfinite(b)).sum())},
         "finite": bool(np.isfinite(a).all() and np.isfinite(b).all()),
         "batch": B,
         "mesh": "1-device 'data' mesh on the real chip",
