@@ -132,6 +132,16 @@ def _encoder_canary_ok(timeout_s: float) -> bool:
 
 
 import jax
+
+# Persistent compilation cache (save/jax_cache): executables round-trip
+# through the axon plugin (save/bench/probe_compile_cache.json), so one
+# healthy-host compile of the fused program survives later compile-helper
+# degradation. Must be set before the first compile; every watchdog
+# re-exec and ladder rung shares the same dir.
+from flowcompare_tpu.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 import jax.numpy as jnp
 
 A100_BASELINE_POINTS_PER_SEC = 75_000.0
@@ -301,6 +311,10 @@ def _emit_stale(why: str):
         out["runs"] = last["runs"]
     if "spread_pct" in last:
         out["spread_pct"] = last["spread_pct"]
+    if last.get("interim"):
+        # the recorded artifact itself is a hand-reconciled interim number
+        # (not yet a headline_runs.py median-of->=3) — surface that
+        out["interim"] = True
     print(json.dumps(out), flush=True)
 
 

@@ -120,7 +120,8 @@ def cmd_train(args):
           max_steps=args.steps,
           steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
           resume_from=args.resume or None,
-          save_final=getattr(args, "save_final", False))
+          save_final=getattr(args, "save_final", False),
+          force_batch=getattr(args, "force_batch", False))
 
 
 def cmd_evaluate(args):
@@ -262,6 +263,10 @@ def main(argv=None):
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--batch-size", type=int, default=None,
                    help="override the config's batch_size")
+    t.add_argument("--force-batch", action="store_true",
+                   help="bypass the hosted-TPU batch-size guard (B=4 "
+                        "training is a known worker-killer; see "
+                        "train.trainer._guard_axon_batch)")
     t.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="run K train steps per device dispatch (amortizes "
                         "per-call overhead on remote backends; K=8 measured "
@@ -340,6 +345,11 @@ def main(argv=None):
     v.set_defaults(fn=cmd_view)
 
     args = p.parse_args(argv)
+    # persistent compile cache: full-scale compiles cost 100-300 s through
+    # the hosted backend's remote helper; cached executables load in ~1 s
+    # and survive compile-helper degradation (save/bench/probe_compile_cache.json)
+    from .compile_cache import enable_compile_cache
+    enable_compile_cache()
     return args.fn(args)
 
 

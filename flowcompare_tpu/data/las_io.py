@@ -78,7 +78,14 @@ def save_las(path: str, points: np.ndarray) -> None:
     rgb01 = (np.clip(points[:, 3:6], 0.0, 1.0) if points.shape[1] >= 6
              else np.zeros_like(xyz))
     offset = xyz.min(axis=0) if n else np.zeros(3)
+    # 1e-4 (0.1 mm) covers extents to ~214 km in int32; widen the scale for
+    # larger clouds instead of letting astype('<i4') silently wrap.
     scale = np.full(3, 1e-4)
+    if n:
+        extent = xyz.max(axis=0) - offset
+        need = extent / (2 ** 31 - 2)       # minimum representable scale
+        scale = np.maximum(scale, 10.0 ** np.ceil(np.log10(
+            np.maximum(need, 1e-12))))
     rec_len = _POINT_FMT[2]
 
     header = bytearray(_HEADER_SIZE)
@@ -124,8 +131,15 @@ def load_cloud(path: str) -> np.ndarray:
         except ImportError:
             if ext == ".laz":
                 raise ImportError(
-                    "reading compressed .laz requires laspy+lazrs; "
-                    "only uncompressed .las is supported without laspy")
+                    f"{path}: reading compressed .laz requires laspy+lazrs "
+                    "(`pip install laspy[lazrs]`), which are not installed. "
+                    "Without them, convert the corpus off-box first — "
+                    "either decompress to .las (`laszip -i tile.laz -o "
+                    "tile.las`, then point the loader at the .las files via "
+                    "cloud_ext='.las') or freeze prepared items into a "
+                    "mmap'd pack file on a machine that has laspy "
+                    "(`flowcompare pack --data ams ... --out train.fcpack`) "
+                    "and train here with --data packed. See docs/data.md.")
             return _read_las_numpy(path)
         with laspy.open(path) as f:
             las = f.read()

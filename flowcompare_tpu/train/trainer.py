@@ -169,6 +169,31 @@ def data_init_from_batch(model: FlowCompareModel, state: TrainState,
     return state._replace(params=new_params, opt_state=tx.init(new_params))
 
 
+def _guard_axon_batch(batch_size: int, force: bool) -> None:
+    """Refuse known worker-killing training shapes on the axon backend.
+
+    B=4 training gradients crash the hosted TPU worker outright (UNAVAILABLE:
+    worker restarted; 10-25 min outage, reproduced twice 2026-08-17 with BOTH
+    encoder formulations), while B=20 is chip-validated. Until the envelope
+    is better mapped, small batches on axon require an explicit override
+    (force=True / --force-batch / FLOWCOMPARE_FORCE_BATCH=1)."""
+    if force or os.environ.get("FLOWCOMPARE_FORCE_BATCH") == "1":
+        return
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return
+    if platform not in ("tpu", "axon"):
+        return
+    if batch_size < 8:
+        raise ValueError(
+            f"batch_size={batch_size} training on the hosted TPU backend is "
+            "a known worker-killer (B=4 crashes the worker for 10-25 min; "
+            "B=20 is the chip-validated shape). Use batch_size >= 8, or "
+            "override with force=True / --force-batch / "
+            "FLOWCOMPARE_FORCE_BATCH=1 if you accept the outage risk.")
+
+
 def train(model: FlowCompareModel, dataset: Iterable, *,
           key: Optional[jax.Array] = None,
           writer: Optional[MetricWriter] = None,
@@ -179,7 +204,8 @@ def train(model: FlowCompareModel, dataset: Iterable, *,
           resume_from: Optional[str] = None,
           steps_per_dispatch: int = 1,
           detect_anomaly: bool = False,
-          save_final: bool = False) -> TrainState:
+          save_final: bool = False,
+          force_batch: bool = False) -> TrainState:
     """Fit loop over an iterable of (extract_0, extract_1, extra|None) batches.
 
     `dataset` is any re-iterable of numpy/jax batches (see data/loader.py);
@@ -192,6 +218,7 @@ def train(model: FlowCompareModel, dataset: Iterable, *,
     IDENTICAL to the K=1 loop.
     """
     c = model.config
+    _guard_axon_batch(int(c["batch_size"]), force_batch)
     if detect_anomaly:
         # reference train.py:81-84 detect_anomaly toggle -> jax debug_nans
         jax.config.update("jax_debug_nans", True)

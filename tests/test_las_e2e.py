@@ -128,3 +128,27 @@ def test_las_14_is_rejected_by_builtin_reader(tmp_path):
     p.write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="1.4"):
         load_cloud(str(p))
+
+
+def test_laz_gate_message_carries_conversion_recipe(tmp_path):
+    """The .laz ImportError must spell out the off-box conversion routes
+    (docs/data.md) — a bare 'install laspy' strands the user."""
+    p = tmp_path / "cloud.laz"
+    p.write_bytes(b"LASF" + b"\x00" * 300)
+    with pytest.raises(ImportError) as ei:
+        load_cloud(str(p))
+    msg = str(ei.value)
+    assert "laspy" in msg and "pack" in msg and "docs/data.md" in msg
+
+
+def test_save_las_wide_extent_does_not_wrap(tmp_path):
+    """Extents beyond ~214 km overflow int32 at the fixed 1e-4 scale —
+    save_las must widen the scale instead of silently wrapping (ADVICE r3)."""
+    from flowcompare_tpu.data.las_io import save_las
+
+    pts = np.zeros((2, 6))
+    pts[1, 0] = 500_000.0          # 500 km extent in x
+    path = str(tmp_path / "wide.las")
+    save_las(path, pts)
+    back = load_cloud(path)
+    np.testing.assert_allclose(back[:, :3], pts[:, :3], atol=1e-2)

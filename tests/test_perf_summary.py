@@ -25,5 +25,10 @@ def test_headline_artifact_schema():
                 "runs", "spread_pct", "recorded"):
         assert key in h, key
     assert h["baseline"] == "estimated-a100"
-    assert len(h["runs"]) >= 2
+    if h.get("interim"):
+        # hand-reconciled stopgap (machine-labeled) — 2 runs tolerated
+        assert len(h["runs"]) >= 2
+    else:
+        # written by tools/headline_runs.py, which asserts n >= 3
+        assert len(h["runs"]) >= 3
     assert min(h["runs"]) <= h["value"] <= max(h["runs"])

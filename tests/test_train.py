@@ -210,3 +210,27 @@ def test_save_final_checkpoint(tmp_path):
     assert path.exists()
     loaded = load_checkpoint(str(path))
     assert int(loaded["step"]) == 2
+
+
+def test_axon_batch_guard(monkeypatch):
+    """B=4 training on the hosted TPU crashes the worker (CLAUDE.md) —
+    trainer must refuse it there unless forced, and ignore it on CPU."""
+    import pytest
+    from flowcompare_tpu.train.trainer import _guard_axon_batch
+
+    class _FakeDev:
+        platform = "axon"
+
+    # CPU (real backend here): any batch passes
+    _guard_axon_batch(4, force=False)
+    # axon backend: small batches refused...
+    monkeypatch.setattr(jax, "devices", lambda *a: [_FakeDev()])
+    with pytest.raises(ValueError, match="worker-killer"):
+        _guard_axon_batch(4, force=False)
+    # ...unless forced, via arg or env
+    _guard_axon_batch(4, force=True)
+    monkeypatch.setenv("FLOWCOMPARE_FORCE_BATCH", "1")
+    _guard_axon_batch(4, force=False)
+    monkeypatch.delenv("FLOWCOMPARE_FORCE_BATCH")
+    # proven shapes pass
+    _guard_axon_batch(20, force=False)

@@ -67,7 +67,14 @@ def main():
                 ckpt_path = value
             else:
                 preset = value
-        elif not a.startswith("--"):
+        elif a.startswith("--"):
+            # fail loudly on typos — a silently-dropped flag would run an
+            # expensive chip measurement in the wrong configuration
+            if a != "--xla-encoder":
+                raise SystemExit(
+                    f"unknown option {a!r} (known: --xla-encoder, "
+                    "--checkpoint PATH, --preset NAME)")
+        else:
             argv.append(a)
     n_batches = int(argv[0]) if argv else 20
     cfg = fc.get_config(preset)

@@ -50,8 +50,9 @@ def _one_run(i: int) -> dict:
     for var in ("FLOWCOMPARE_BENCH_RUNG", "FLOWCOMPARE_BENCH_PRESET",
                 "FLOWCOMPARE_BENCH_BATCH", "FLOWCOMPARE_BENCH_ENCODER",
                 "FLOWCOMPARE_BENCH_FUSED", "FLOWCOMPARE_BENCH_FUSED_ENCODER",
-                "FLOWCOMPARE_BENCH_DEADLINE", "FLOWCOMPARE_BENCH_BUDGET"):
-        env.pop(var, None)
+                "FLOWCOMPARE_BENCH_DEADLINE", "FLOWCOMPARE_BENCH_BUDGET",
+                "FLOWCOMPARE_BENCH_WAIT"):  # an inherited long chip-wait
+        env.pop(var, None)                  # must not eat PER_RUN_TIMEOUT_S
     t0 = time.time()
     p = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
                        env=env, timeout=PER_RUN_TIMEOUT_S,
@@ -59,8 +60,12 @@ def _one_run(i: int) -> dict:
     if p.returncode != 0:
         raise RuntimeError(f"run {i} failed rc={p.returncode}:\n"
                            f"{p.stderr[-1500:]}")
-    line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-    res = json.loads(line)
+    lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"run {i}: bench exited rc=0 but printed no JSON line; "
+            f"stdout tail:\n{p.stdout[-1500:]}")
+    res = json.loads(lines[-1])
     if res.get("stale") or res.get("degraded"):
         raise RuntimeError(f"run {i} was not a fresh full-config "
                            f"measurement: {res}")

@@ -14,6 +14,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 import jax
+
+from flowcompare_tpu.compile_cache import enable_compile_cache
+
+enable_compile_cache()   # a healthy compile here immunises later runs
+
 import jax.numpy as jnp
 
 
