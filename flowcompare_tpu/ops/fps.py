@@ -18,9 +18,24 @@ import jax
 import jax.numpy as jnp
 
 
+# On TPU the greedy loop runs as ONE Pallas kernel (VMEM-resident cloud,
+# no per-iteration XLA loop machinery): bit-exact vs the XLA path
+# (tests/test_fps_kernel.py) and ~an order cheaper on the hosted chip
+# (the XLA loop costs ~4.5 ms/batch of PAConv eval,
+# save/bench/ablate_paconv.json). Trace-time flag for A/B tooling.
+_USE_KERNEL = True
+
+
 def furthest_point_sampling(xyz: jnp.ndarray, m: int) -> jnp.ndarray:
-    """xyz: (B, N, 3-or-D) -> int32 (B, m) indices; first pick is index 0."""
+    """xyz: (B, N, 3-or-D) -> int32 (B, m) indices; first pick is index 0.
+
+    Index selection only — not differentiable; callers stop_gradient the
+    input (the reference's CUDA furthestsampling has no backward either).
+    """
     b, n, _ = xyz.shape
+    if _USE_KERNEL and xyz.shape[-1] == 3 and jax.default_backend() == "tpu":
+        from .fps_pallas import fps_pallas
+        return fps_pallas(xyz, m)
     xyzf = xyz.astype(jnp.float32)
 
     def body(i, carry):

@@ -22,6 +22,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Trace-time top-k lowering for knn_indices: "topk" (lax.top_k, sort-based)
+# or "approx" (lax.approx_max_k at recall 1.0 — exact membership via the
+# TPU PartialReduce op, often cheaper). A/B: tools/ab_paconv_opt.py.
+_TOPK_IMPL = "topk"
+
 
 def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Squared euclidean distances. x: (..., N, D), y: (..., M, D) -> (..., N, M)."""
@@ -57,7 +62,15 @@ def knn_indices(query: jnp.ndarray, points: jnp.ndarray, k: int,
         is_self = (jnp.arange(n, dtype=self_idx.dtype)
                    == self_idx[..., None])                   # (..., M, N)
         neg_dist = jnp.where(is_self, jnp.inf, neg_dist)
-    _, idx = jax.lax.top_k(neg_dist, min(k, n))
+    if _TOPK_IMPL == "approx":
+        # TPU PartialReduce lowering; recall_target=1.0 makes it EXACT
+        # top-k membership (tie ORDER may differ from lax.top_k — callers
+        # that depend on slot order beyond self-first must not flip this)
+        _, idx = jax.lax.approx_max_k(neg_dist, min(k, n),
+                                      recall_target=1.0,
+                                      aggregate_to_topk=True)
+    else:
+        _, idx = jax.lax.top_k(neg_dist, min(k, n))
     if k > n:
         pad = jnp.zeros(idx.shape[:-1] + (k - n,), idx.dtype)
         idx = jnp.concatenate([idx, pad], axis=-1)

@@ -1,0 +1,60 @@
+"""The three paconv_assign_score formulations and the two knn top-k
+lowerings must be algebraically interchangeable (they are trace-time
+perf flags, not semantic knobs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowcompare_tpu.ops import knn as knn_mod
+from flowcompare_tpu.ops import paconv_ops as pco
+
+
+def _ref_assign_score(feat, bank, scores, m):
+    """Direct numpy transcription of the contraction
+    out[b,n,k,o] = sum_m s[b,n,k,m] * (f[b,n,k,:] @ W[:, m, o])."""
+    b, n, k, c2 = feat.shape
+    w = bank.reshape(c2, m, -1)
+    cand = np.einsum("bnkc,cmo->bnkmo", feat, w)
+    return np.einsum("bnkm,bnkmo->bnko", scores, cand)
+
+
+@pytest.mark.parametrize("form", ["einsum", "concat", "per_m"])
+def test_assign_score_forms_match_reference(form):
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    m, c2, o = 8, 12, 32
+    feat = jax.random.normal(k1, (2, 5, 7, c2))
+    bank = jax.random.normal(k2, (c2, m * o)) * 0.1
+    scores = jax.nn.softmax(jax.random.normal(k3, (2, 5, 7, m)), axis=-1)
+    ref = _ref_assign_score(np.asarray(feat), np.asarray(bank),
+                            np.asarray(scores), m)
+    prev = pco._FORM
+    try:
+        pco._FORM = form
+        got = pco.paconv_assign_score(feat, bank, scores, m)
+    finally:
+        pco._FORM = prev
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_topk_impls_same_membership_and_self_first():
+    key = jax.random.PRNGKey(7)
+    pts = jax.random.normal(key, (3, 60, 3))
+    q_idx = jnp.tile(jnp.arange(0, 60, 4)[None], (3, 1))
+    q = jnp.take_along_axis(pts, q_idx[..., None], axis=1)
+    prev = knn_mod._TOPK_IMPL
+    try:
+        knn_mod._TOPK_IMPL = "topk"
+        a = knn_mod.knn_indices(q, pts, 8, self_idx=q_idx)
+        knn_mod._TOPK_IMPL = "approx"
+        b = knn_mod.knn_indices(q, pts, 8, self_idx=q_idx)
+    finally:
+        knn_mod._TOPK_IMPL = prev
+    # slot 0 pinned to self by both
+    np.testing.assert_array_equal(np.asarray(a[..., 0]), np.asarray(q_idx))
+    np.testing.assert_array_equal(np.asarray(b[..., 0]), np.asarray(q_idx))
+    # identical neighbour MEMBERSHIP (order may differ between lowerings)
+    np.testing.assert_array_equal(np.sort(np.asarray(a), axis=-1),
+                                  np.sort(np.asarray(b), axis=-1))

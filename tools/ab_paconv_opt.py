@@ -1,0 +1,195 @@
+"""Chip A/B of the PAConv-encoder optimization flags (VERDICT r3 item 3).
+
+save/bench/ablate_paconv.json split good-surf's 82.9 ms/batch into flow
+55.4 + encoder 30.5 (kNN/gather ~13, assign-score conv ~10, FPS ~4.5).
+This tool measures each lever on chip, greedily keeping winners:
+
+  1. ops/fps._USE_KERNEL        — Pallas FPS kernel vs XLA fori-loop
+  2. ops/paconv_ops._FORM       — assign-score: einsum / concat / per_m
+  3. ops/knn._TOPK_IMPL         — lax.top_k vs approx_max_k(recall=1.0)
+
+Each variant is a DIFFERENTLY-NAMED jitted program (MEASUREMENT TRAP 3:
+the tunnel memoizes by function name — identically-named cross-variant
+probes can be served each other's results) with device-resident inputs
+(TRAP 2) and fresh salts (TRAP 1). Embedding parity vs the baseline is
+recorded per variant (fps kernel must be bit-exact; conv forms drift at
+bf16 rounding).
+
+Writes save/bench/ab_paconv_opt.json and prints the winning flag set.
+Pure-XLA + small-Pallas programs: runs on a degraded compile host.
+
+Usage: python tools/ab_paconv_opt.py [--preset good-surf]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flowcompare_tpu.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+CH = 10
+REPS = 4
+
+
+def timed(fn, make_args, reps=REPS):
+    warm = [make_args(1000 + w) for w in range(2)]
+    args = [make_args(i) for i in range(reps)]
+    jax.block_until_ready((warm, args))
+    for a in warm:
+        float(jnp.asarray(fn(*a)).ravel()[0])
+    t0 = time.perf_counter()
+    for a in args:
+        float(jnp.asarray(fn(*a)).ravel()[0])
+    return (time.perf_counter() - t0) / (reps * CH)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="good-surf")
+    ap.add_argument("--out", default="save/bench/ab_paconv_opt.json")
+    args = ap.parse_args()
+
+    z = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    assert float(z[0, 0]) == 8.0, "chip unhealthy"
+
+    import flowcompare_tpu as fc
+    from flowcompare_tpu.ops import fps as fps_mod
+    from flowcompare_tpu.ops import knn as knn_mod
+    from flowcompare_tpu.ops import paconv_ops as pco
+
+    cfg = fc.get_config(args.preset)
+    cfg["compute_dtype"] = "bfloat16"
+    model = fc.FlowCompareModel(cfg, remat=False, fused_layers=True)
+    params, state = model.init_params(jax.random.PRNGKey(0))
+    B, NC = cfg["batch_size"], cfg["n_samples_context"]
+    salt = int(time.time() * 1e3) % (2 ** 31)
+    ks = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(13), salt), 4)
+
+    def ctx_chunk(i):
+        return (params, state,
+                jax.random.normal(jax.random.fold_in(ks[0], i),
+                                  (CH, B, NC, 6)))
+
+    parity_ctx = jax.random.normal(ks[1], (CH, B, NC, 6))
+
+    def make_enc(tag):
+        """Freshly-traced, uniquely-NAMED encoder-chunk program under the
+        currently-set module flags."""
+        def enc(params, state, ctxs):
+            def step(c, ctx):
+                out, _ = model.embed(params, state, ctx, training=False)
+                return c + 1, out
+            _, outs = jax.lax.scan(step, 0, ctxs)
+            return outs
+        enc.__name__ = f"enc_{tag}"
+        return jax.jit(enc)
+
+    def set_flags(fps_kernel, form, topk):
+        fps_mod._USE_KERNEL = fps_kernel
+        pco._FORM = form
+        knn_mod._TOPK_IMPL = topk
+
+    variants = [
+        ("base",        (False, "einsum", "topk")),
+        ("fps_kernel",  (True,  "einsum", "topk")),
+        ("conv_concat", (True,  "concat", "topk")),
+        ("conv_per_m",  (True,  "per_m",  "topk")),
+    ]
+
+    results, embs = {}, {}
+    for tag, flags in variants:
+        set_flags(*flags)
+        enc = make_enc(tag)
+        try:
+            results[tag] = round(timed(enc, ctx_chunk) * 1e3, 2)
+            embs[tag] = enc(params, state, parity_ctx)
+        except Exception as e:  # a variant failing to compile is a result
+            results[tag] = f"error: {str(e)[:200]}"
+        print(f"{tag}: {results[tag]} ms/batch", flush=True)
+
+    def best_conv():
+        cands = {t: results[t] for t in ("base", "conv_concat", "conv_per_m")
+                 if isinstance(results.get(t), float)}
+        tag = min(cands, key=cands.get)
+        return {"base": "einsum", "conv_concat": "concat",
+                "conv_per_m": "per_m"}[tag]
+
+    fps_win = (isinstance(results.get("fps_kernel"), float)
+               and isinstance(results.get("base"), float)
+               and results["fps_kernel"] <= results["base"])
+    set_flags(fps_win, best_conv(), "approx")
+    enc = make_enc("topk_approx")
+    try:
+        results["topk_approx"] = round(timed(enc, ctx_chunk) * 1e3, 2)
+        embs["topk_approx"] = enc(params, state, parity_ctx)
+    except Exception as e:
+        results["topk_approx"] = f"error: {str(e)[:200]}"
+    print(f"topk_approx: {results['topk_approx']} ms/batch", flush=True)
+
+    base = embs.get("base")
+    parity = {}
+    if base is not None:
+        bf = jnp.asarray(base, jnp.float32)
+        scale = float(jnp.max(jnp.abs(bf))) or 1.0
+        for tag, e in embs.items():
+            d = float(jnp.max(jnp.abs(jnp.asarray(e, jnp.float32) - bf)))
+            parity[tag] = round(d / scale, 8)
+
+    conv_w = best_conv()
+    topk_w = ("approx" if isinstance(results.get("topk_approx"), float)
+              and results["topk_approx"] < min(
+                  v for t, v in results.items()
+                  if t != "topk_approx" and isinstance(v, float))
+              else "topk")
+    winners = {"fps_kernel": fps_win, "conv_form": conv_w,
+               "topk_impl": topk_w}
+
+    # full-model eval with the winning flags vs the committed preset bench
+    set_flags(fps_win, conv_w, topk_w)
+
+    def full(params, state, ctxs, tgts, extras):
+        def step(c, xs):
+            loss, _, nats, _ = fc.inner_loop(model, params, state, xs,
+                                             rng=ks[3], training=False)
+            return c + 1, nats
+        _, outs = jax.lax.scan(step, 0, (ctxs, tgts, extras))
+        return outs
+    full.__name__ = f"full_win_{salt % 997}"
+    fullj = jax.jit(full)
+
+    def full_chunk(i):
+        return (params, state,
+                jax.random.normal(jax.random.fold_in(ks[0], i),
+                                  (CH, B, NC, 6)),
+                jax.random.normal(jax.random.fold_in(ks[1], i),
+                                  (CH, B, cfg["sample_size"], 6)),
+                jax.random.normal(jax.random.fold_in(ks[2], i), (CH, B, 1)))
+
+    t_full = timed(fullj, full_chunk)
+    pps = B * cfg["sample_size"] / t_full
+    out = {
+        "preset": args.preset, "chunk": CH, "batch": B,
+        "encoder_ms_per_batch": results,
+        "parity_max_rel_vs_base": parity,
+        "winners": winners,
+        "full_ms_per_batch_with_winners": round(t_full * 1e3, 2),
+        "full_points_per_sec": round(pps, 1),
+        "recorded": time.strftime("%Y-%m-%d %H:%M"),
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
