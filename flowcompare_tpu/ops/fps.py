@@ -23,7 +23,7 @@ import jax.numpy as jnp
 # (tests/test_fps_kernel.py) and ~an order cheaper on the hosted chip
 # (the XLA loop costs ~4.5 ms/batch of PAConv eval,
 # save/bench/ablate_paconv.json). Trace-time flag for A/B tooling.
-_USE_KERNEL = True
+_USE_KERNEL = __import__("os").environ.get("FLOWCOMPARE_FPS_KERNEL", "1") == "1"
 
 
 def furthest_point_sampling(xyz: jnp.ndarray, m: int) -> jnp.ndarray:

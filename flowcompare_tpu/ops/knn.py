@@ -25,7 +25,10 @@ import jax.numpy as jnp
 # Trace-time top-k lowering for knn_indices: "topk" (lax.top_k, sort-based)
 # or "approx" (lax.approx_max_k at recall 1.0 — exact membership via the
 # TPU PartialReduce op, often cheaper). A/B: tools/ab_paconv_opt.py.
-_TOPK_IMPL = "topk"
+# Env override for A/B tooling: FLOWCOMPARE_TOPK_IMPL.
+import os as _os
+
+_TOPK_IMPL = _os.environ.get("FLOWCOMPARE_TOPK_IMPL", "topk")
 
 
 def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

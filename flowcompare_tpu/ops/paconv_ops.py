@@ -30,7 +30,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 # Production default; flipped only on a chip A/B win (tools/ab_paconv_opt.py).
-_FORM = "einsum"
+# Env override for A/B tooling: FLOWCOMPARE_PACONV_FORM.
+import os as _os
+
+_FORM = _os.environ.get("FLOWCOMPARE_PACONV_FORM", "einsum")
 
 
 def paconv_assign_score(in_feat: jnp.ndarray, weightbank: jnp.ndarray,
