@@ -117,11 +117,17 @@ def main():
         print(f"{tag}: {results[tag]} ms/batch", flush=True)
 
     def best_conv():
-        cands = {t: results[t] for t in ("base", "conv_concat", "conv_per_m")
+        # the einsum representative must share the fps setting with the
+        # conv variants (fps_kernel=True) or the fps win would be credited
+        # to the conv form
+        ein_rep = ("fps_kernel" if isinstance(results.get("fps_kernel"),
+                                              float) else "base")
+        cands = {t: results[t]
+                 for t in (ein_rep, "conv_concat", "conv_per_m")
                  if isinstance(results.get(t), float)}
         tag = min(cands, key=cands.get)
-        return {"base": "einsum", "conv_concat": "concat",
-                "conv_per_m": "per_m"}[tag]
+        return {"base": "einsum", "fps_kernel": "einsum",
+                "conv_concat": "concat", "conv_per_m": "per_m"}[tag]
 
     fps_win = (isinstance(results.get("fps_kernel"), float)
                and isinstance(results.get("base"), float)
