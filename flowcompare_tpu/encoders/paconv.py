@@ -51,19 +51,23 @@ def _init_scorenet(key, in_dim: int, m: int):
 
 
 def _apply_scorenet(params, state, xyz_feat, *, training):
-    """xyz_feat: (B, N, K, in_dim) -> scores (B, N, K, m), softmaxed."""
+    """xyz_feat: (B, N, K, in_dim) -> scores (B, N, K, m), softmaxed.
+
+    Runs at the input's dtype (weights cast at use — the bf16 eval policy);
+    the softmax is computed in f32 and cast back."""
     h = xyz_feat
+    dt = h.dtype
     new_states = []
     n_layers = len(params["layers"])
     for i, (layer, bn_state) in enumerate(zip(params["layers"], state["layers"])):
-        h = h @ layer["lin"]["w"]
+        h = h @ layer["lin"]["w"].astype(dt)
         if "b" in layer["lin"]:
-            h = h + layer["lin"]["b"]
+            h = h + layer["lin"]["b"].astype(dt)
         if i < n_layers - 1:
             h, bn_state = apply_batchnorm(layer["bn"], bn_state, h, training=training)
-            h = jax.nn.relu(h)
+            h = jax.nn.relu(h).astype(dt)
         new_states.append(bn_state)
-    scores = jax.nn.softmax(h, axis=-1)
+    scores = jax.nn.softmax(h.astype(jnp.float32), axis=-1).astype(dt)
     return scores, {"layers": new_states}
 
 
@@ -94,13 +98,16 @@ def _apply_paconv_layer(params, state, feats, grouped_xyz_diff, *, training):
     center = feats[:, :, :1, :]
     in_feat = jnp.concatenate((feats - center, feats), axis=-1)  # (B,N1,K,2C)
     scores, score_state = _apply_scorenet(
-        params["scorenet"], state["scorenet"], grouped_xyz_diff, training=training)
-    out = paconv_assign_score(in_feat, params["weightbank"], scores, M_KERNELS)
+        params["scorenet"], state["scorenet"],
+        grouped_xyz_diff.astype(feats.dtype), training=training)
+    out = paconv_assign_score(
+        in_feat, params["weightbank"].astype(in_feat.dtype), scores,
+        M_KERNELS)
     new_state = {"scorenet": score_state}
     if "bn" in params:
         out, new_state["bn"] = apply_batchnorm(
             params["bn"], state["bn"], out, training=training)
-        out = jax.nn.relu(out)
+        out = jax.nn.relu(out).astype(in_feat.dtype)
     return out, new_state
 
 
@@ -116,14 +123,15 @@ def _init_shared_mlp(key, dims, *, bn: bool = True):
 
 
 def _apply_shared_mlp(params, state, h, *, training):
+    dt = h.dtype
     new_states = []
     for layer, bn_state in zip(params["layers"], state["layers"]):
-        h = h @ layer["lin"]["w"]
+        h = h @ layer["lin"]["w"].astype(dt)
         if "b" in layer["lin"]:
-            h = h + layer["lin"]["b"]
+            h = h + layer["lin"]["b"].astype(dt)
         if layer["bn"] is not None:
             h, bn_state = apply_batchnorm(layer["bn"], bn_state, h, training=training)
-        h = jax.nn.relu(h)
+        h = jax.nn.relu(h).astype(dt)
         new_states.append(bn_state)
     return h, {"layers": new_states}
 
@@ -176,9 +184,18 @@ def _sa_level(params, state, xyz, feats, *, training):
     # under the TPU MXU's bf16 distance-rounding noise
     knn_idx = knn_indices(jax.lax.stop_gradient(new_xyz), xyz_sg, NSAMPLE,
                           self_idx=idx)
-    grouped_xyz = gather(xyz, knn_idx)
-    grouped_xyz_diff = grouped_xyz - new_xyz[:, :, None, :]
-    grouped_feats = gather(feats, knn_idx)
+    if feats.dtype == xyz.dtype:
+        # ONE gather for xyz+feats (half the index traffic of two)
+        grouped = gather(jnp.concatenate((xyz, feats), axis=-1), knn_idx)
+        grouped_xyz, grouped_feats = grouped[..., :3], grouped[..., 3:]
+    else:
+        # bf16 eval policy: features gather at bf16 (half the bytes);
+        # geometry stays f32 — the centre-relative diff below would
+        # catastrophically cancel at bf16
+        grouped_xyz = gather(xyz, knn_idx)
+        grouped_feats = gather(feats, knn_idx)
+    grouped_xyz_diff = (grouped_xyz - new_xyz[:, :, None, :]
+                        ).astype(feats.dtype)
     h = jnp.concatenate((grouped_xyz_diff, grouped_feats), axis=-1)
     new_states = []
     for lp, ls in zip(params, state):
@@ -187,10 +204,20 @@ def _sa_level(params, state, xyz, feats, *, training):
     return new_xyz, jnp.max(h, axis=2), new_states
 
 
-def apply_pointnet2_paconv(params, state, pointcloud, *, training: bool = False):
-    """pointcloud: (B, N, 3 + c) -> ((B, N, k), new_state)."""
+def apply_pointnet2_paconv(params, state, pointcloud, *, training: bool = False,
+                           dtype=None):
+    """pointcloud: (B, N, 3 + c) -> ((B, N, k), new_state).
+
+    dtype: optional compute dtype (bf16 eval policy, mirroring the DGCNN
+    encoder): features, conv/scorenet/MLP matmuls and their activations run
+    at `dtype`; GEOMETRY stays f32 — FPS picks and kNN membership must not
+    move under bf16 coordinate rounding (the reference's CUDA ops are f32),
+    and BN statistics stay f32 via core/batchnorm. dtype=None (training,
+    golden parity) is the unchanged f32 path."""
     xyz = pointcloud[..., :3]
     feats = pointcloud[..., 3:]
+    if dtype is not None:
+        feats = feats.astype(dtype)
     l_xyz, l_feats = [xyz], [feats]
     new_state = {"sa": [], "fp": [None] * 4}
     for i in range(4):
@@ -203,10 +230,11 @@ def apply_pointnet2_paconv(params, state, pointcloud, *, training: bool = False)
         interp = three_nn_interpolate(l_xyz[i - 1], l_xyz[i], l_feats[i],
                                       mm_backward=training)
         skip = l_feats[i - 1]
+        interp = interp.astype(l_feats[i].dtype)
         h = jnp.concatenate([interp, skip], axis=-1) if skip.shape[-1] else interp
         h, ns = _apply_shared_mlp(params["fp"][i], state["fp"][i], h,
                                   training=training)
         l_feats[i - 1] = h
         new_state["fp"][i] = ns
-    out = apply_mlp(params["out_mlp"], l_feats[0], gelu)
+    out = apply_mlp(params["out_mlp"], l_feats[0], gelu, dtype=dtype)
     return out, new_state

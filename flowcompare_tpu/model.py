@@ -314,7 +314,10 @@ class FlowCompareModel:
         else:
             out, new_emb_state = apply_pointnet2_paconv(
                 params["embedder"], state["embedder"], extract_0,
-                training=training)
+                training=training,
+                # bf16 eval policy (geometry stays f32 inside); the
+                # training path keeps the chip-validated f32 formulation
+                dtype=(None if training else self._dt))
         return out, {**state, "embedder": new_emb_state}
 
     # ----------------------------------------------------------- transforms

@@ -58,3 +58,24 @@ def test_topk_impls_same_membership_and_self_first():
     # identical neighbour MEMBERSHIP (order may differ between lowerings)
     np.testing.assert_array_equal(np.sort(np.asarray(a), axis=-1),
                                   np.sort(np.asarray(b), axis=-1))
+
+
+def test_paconv_bf16_eval_policy_close_to_f32():
+    """The bf16 eval policy (features/matmuls bf16, geometry + BN stats
+    f32) must track the f32 encoder within bf16 noise, with IDENTICAL
+    FPS/kNN topology (geometry stays f32 by design)."""
+    from flowcompare_tpu.encoders.paconv import (apply_pointnet2_paconv,
+                                                 init_pointnet2_paconv)
+
+    key = jax.random.PRNGKey(11)
+    params, state = init_pointnet2_paconv(key, c=3, k=32,
+                                          out_mlp_dims=(64, 64))
+    pc = jax.random.normal(jax.random.PRNGKey(1), (2, 256, 6))
+    f32, _ = apply_pointnet2_paconv(params, state, pc, training=False)
+    bf16, _ = apply_pointnet2_paconv(params, state, pc, training=False,
+                                     dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.bfloat16
+    a = np.asarray(f32, np.float32)
+    b = np.asarray(bf16, np.float32)
+    denom = max(1e-6, float(np.max(np.abs(a))))
+    assert float(np.max(np.abs(a - b))) / denom < 0.08
