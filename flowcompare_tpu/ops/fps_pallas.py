@@ -35,15 +35,16 @@ from jax.experimental import pallas as pl
 _LANES = 128
 
 
-def _kernel(xt_ref, idx_ref, *, n: int, m: int, npad: int):
+def _kernel(xt_ref, idx_ref, *, n: int, m: int, npad: int, mpad: int):
     """xt_ref: (1, 8, npad) f32 — rows 0..2 = x,y,z, rows 3..7 zero,
-    lanes >= n zero. idx_ref: (1, m) int32 out."""
+    lanes >= n zero. idx_ref: (1, 1, mpad) int32 out (Mosaic block rule:
+    the last two dims must be (whole-dim, 128-multiple))."""
     xt = xt_ref[0]                                        # (8, npad)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
     valid = lane < n
     # padded lanes must never win the argmax
     min_d0 = jnp.where(valid, jnp.inf, -jnp.inf)          # (1, npad)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, mpad), 1)
 
     def body(i, carry):
         min_d, far, idxv = carry
@@ -61,8 +62,8 @@ def _kernel(xt_ref, idx_ref, *, n: int, m: int, npad: int):
         return min_d, far, idxv
 
     _, _, idxv = jax.lax.fori_loop(
-        0, m, body, (min_d0, jnp.int32(0), jnp.zeros((1, m), jnp.int32)))
-    idx_ref[...] = idxv
+        0, m, body, (min_d0, jnp.int32(0), jnp.zeros((1, mpad), jnp.int32)))
+    idx_ref[0] = idxv
 
 
 @functools.partial(jax.jit, static_argnames=("m", "interpret"))
@@ -72,14 +73,16 @@ def fps_pallas(xyz: jnp.ndarray, m: int, *, interpret: bool = False
     deterministic-start contract of ops/fps.furthest_point_sampling)."""
     b, n, _ = xyz.shape
     npad = -(-n // _LANES) * _LANES
+    mpad = -(-m // _LANES) * _LANES
     xt = jnp.swapaxes(xyz[..., :3].astype(jnp.float32), 1, 2)  # (B, 3, N)
     xt = jnp.pad(xt, ((0, 0), (0, 5), (0, npad - n)))          # (B, 8, npad)
-    kern = functools.partial(_kernel, n=n, m=m, npad=npad)
-    return pl.pallas_call(
+    kern = functools.partial(_kernel, n=n, m=m, npad=npad, mpad=mpad)
+    out = pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=[pl.BlockSpec((1, 8, npad), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, m), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, m), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, mpad), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, mpad), jnp.int32),
         interpret=interpret,
     )(xt)
+    return out[:, 0, :m]

@@ -101,11 +101,30 @@ def main():
     variants = [
         ("base",        (False, "einsum", "topk")),
         ("fps_kernel",  (True,  "einsum", "topk")),
-        ("conv_concat", (True,  "concat", "topk")),
-        ("conv_per_m",  (True,  "per_m",  "topk")),
+        ("conv_concat", (False, "concat", "topk")),
+        ("conv_per_m",  (False, "per_m",  "topk")),
     ]
 
     results, embs = {}, {}
+    # f32-encoder control: same worker, same inputs — isolates the bf16
+    # eval policy's effect from worker-to-worker variance
+    model_f32 = fc.FlowCompareModel(dict(cfg, compute_dtype=None),
+                                    remat=False, fused_layers=True)
+
+    def enc_f32(params, state, ctxs):
+        def step(c, ctx):
+            out, _ = model_f32.embed(params, state, ctx, training=False)
+            return c + 1, out
+        _, outs = jax.lax.scan(step, 0, ctxs)
+        return outs
+    enc_f32.__name__ = f"enc_f32ctl_{salt % 997}"
+    try:
+        results["f32_encoder"] = round(
+            timed(jax.jit(enc_f32), ctx_chunk) * 1e3, 2)
+    except Exception as e:
+        results["f32_encoder"] = f"error: {str(e)[:200]}"
+    print(f"f32_encoder: {results['f32_encoder']} ms/batch", flush=True)
+
     for tag, flags in variants:
         set_flags(*flags)
         enc = make_enc(tag)
@@ -117,17 +136,14 @@ def main():
         print(f"{tag}: {results[tag]} ms/batch", flush=True)
 
     def best_conv():
-        # the einsum representative must share the fps setting with the
-        # conv variants (fps_kernel=True) or the fps win would be credited
-        # to the conv form
-        ein_rep = ("fps_kernel" if isinstance(results.get("fps_kernel"),
-                                              float) else "base")
+        # all three conv candidates share fps=False, so the comparison is
+        # clean; the fps choice is combined afterwards
         cands = {t: results[t]
-                 for t in (ein_rep, "conv_concat", "conv_per_m")
+                 for t in ("base", "conv_concat", "conv_per_m")
                  if isinstance(results.get(t), float)}
         tag = min(cands, key=cands.get)
-        return {"base": "einsum", "fps_kernel": "einsum",
-                "conv_concat": "concat", "conv_per_m": "per_m"}[tag]
+        return {"base": "einsum", "conv_concat": "concat",
+                "conv_per_m": "per_m"}[tag]
 
     fps_win = (isinstance(results.get("fps_kernel"), float)
                and isinstance(results.get("base"), float)
