@@ -24,11 +24,15 @@ import jax.numpy as jnp
 
 # Trace-time top-k lowering for knn_indices: "topk" (lax.top_k, sort-based)
 # or "approx" (lax.approx_max_k at recall 1.0 — exact membership via the
-# TPU PartialReduce op, often cheaper). A/B: tools/ab_paconv_opt.py.
+# TPU PartialReduce op). Default "approx": chip A/B -1.0 ms/batch on the
+# PAConv encoder with identical membership (save/bench/ab_paconv_opt.json;
+# membership equality: tests/test_paconv_forms.py). NOTE knn_self (DGCNN)
+# does NOT route through this flag — the fused kernels' bit-exactness
+# contract is against lax.top_k tie order.
 # Env override for A/B tooling: FLOWCOMPARE_TOPK_IMPL.
 import os as _os
 
-_TOPK_IMPL = _os.environ.get("FLOWCOMPARE_TOPK_IMPL", "topk")
+_TOPK_IMPL = _os.environ.get("FLOWCOMPARE_TOPK_IMPL", "approx")
 
 
 def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -43,7 +47,8 @@ def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def knn_indices(query: jnp.ndarray, points: jnp.ndarray, k: int,
-                self_idx: jnp.ndarray | None = None) -> jnp.ndarray:
+                self_idx: jnp.ndarray | None = None,
+                impl: str | None = None) -> jnp.ndarray:
     """Indices of the k nearest `points` for each `query` point.
 
     query: (..., M, D), points: (..., N, D) -> int32 (..., M, k), nearest
@@ -65,7 +70,7 @@ def knn_indices(query: jnp.ndarray, points: jnp.ndarray, k: int,
         is_self = (jnp.arange(n, dtype=self_idx.dtype)
                    == self_idx[..., None])                   # (..., M, N)
         neg_dist = jnp.where(is_self, jnp.inf, neg_dist)
-    if _TOPK_IMPL == "approx":
+    if (impl or _TOPK_IMPL) == "approx":
         # TPU PartialReduce lowering; recall_target=1.0 makes it EXACT
         # top-k membership (tie ORDER may differ from lax.top_k — callers
         # that depend on slot order beyond self-first must not flip this)

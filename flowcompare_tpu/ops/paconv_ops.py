@@ -29,11 +29,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# Production default; flipped only on a chip A/B win (tools/ab_paconv_opt.py).
+# Production default "concat": chip A/B 24.0 vs einsum 36.0 ms/batch
+# same-worker (save/bench/ab_paconv_opt.json, 2026-08-20); change-map
+# agreement vs the f32 scan unchanged from round 3 (99.56%/99.87%+,
+# change_map_parity_good-surf.json).
 # Env override for A/B tooling: FLOWCOMPARE_PACONV_FORM.
 import os as _os
 
-_FORM = _os.environ.get("FLOWCOMPARE_PACONV_FORM", "einsum")
+_FORM = _os.environ.get("FLOWCOMPARE_PACONV_FORM", "concat")
 
 
 def paconv_assign_score(in_feat: jnp.ndarray, weightbank: jnp.ndarray,

@@ -98,11 +98,15 @@ def main():
         pco._FORM = form
         knn_mod._TOPK_IMPL = topk
 
+    # round-4 second pass: defaults are now concat+approx (first-pass
+    # winners, save/bench/ab_paconv_opt.json); this matrix re-baselines
+    # against them and tests the BATCH-PARALLEL fps kernel v2 plus
+    # reversion controls for each flipped flag
     variants = [
-        ("base",        (False, "einsum", "topk")),
-        ("fps_kernel",  (True,  "einsum", "topk")),
-        ("conv_concat", (False, "concat", "topk")),
-        ("conv_per_m",  (False, "per_m",  "topk")),
+        ("base",          (False, "concat", "approx")),
+        ("fps_kernel_v2", (True,  "concat", "approx")),
+        ("einsum_ctl",    (False, "einsum", "approx")),
+        ("topk_ctl",      (False, "concat", "topk")),
     ]
 
     results, embs = {}, {}
@@ -135,27 +139,10 @@ def main():
             results[tag] = f"error: {str(e)[:200]}"
         print(f"{tag}: {results[tag]} ms/batch", flush=True)
 
-    def best_conv():
-        # all three conv candidates share fps=False, so the comparison is
-        # clean; the fps choice is combined afterwards
-        cands = {t: results[t]
-                 for t in ("base", "conv_concat", "conv_per_m")
-                 if isinstance(results.get(t), float)}
-        tag = min(cands, key=cands.get)
-        return {"base": "einsum", "conv_concat": "concat",
-                "conv_per_m": "per_m"}[tag]
-
-    fps_win = (isinstance(results.get("fps_kernel"), float)
-               and isinstance(results.get("base"), float)
-               and results["fps_kernel"] <= results["base"])
-    set_flags(fps_win, best_conv(), "approx")
-    enc = make_enc("topk_approx")
-    try:
-        results["topk_approx"] = round(timed(enc, ctx_chunk) * 1e3, 2)
-        embs["topk_approx"] = enc(params, state, parity_ctx)
-    except Exception as e:
-        results["topk_approx"] = f"error: {str(e)[:200]}"
-    print(f"topk_approx: {results['topk_approx']} ms/batch", flush=True)
+    def beats_base(tag):
+        return (isinstance(results.get(tag), float)
+                and isinstance(results.get("base"), float)
+                and results[tag] <= results["base"])
 
     base = embs.get("base")
     parity = {}
@@ -166,12 +153,9 @@ def main():
             d = float(jnp.max(jnp.abs(jnp.asarray(e, jnp.float32) - bf)))
             parity[tag] = round(d / scale, 8)
 
-    conv_w = best_conv()
-    topk_w = ("approx" if isinstance(results.get("topk_approx"), float)
-              and results["topk_approx"] < min(
-                  v for t, v in results.items()
-                  if t != "topk_approx" and isinstance(v, float))
-              else "topk")
+    fps_win = beats_base("fps_kernel_v2")
+    conv_w = "einsum" if beats_base("einsum_ctl") else "concat"
+    topk_w = "topk" if beats_base("topk_ctl") else "approx"
     winners = {"fps_kernel": fps_win, "conv_form": conv_w,
                "topk_impl": topk_w}
 
