@@ -100,6 +100,14 @@ def knn_self(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return knn_indices(x, x, k)
 
 
+# "take" (XLA gather) or "onehot" (one-hot @ features on the MXU — the
+# same trick the fused DGCNN kernel uses for its in-kernel gathers).
+# The one-hot path is BIT-EXACT for bf16 features (1.0 * v is exact, the
+# zero terms vanish exactly) and only engages there: f32 operands would be
+# bf16-rounded by the MXU. A/B: tools/ab_paconv_opt.py.
+_GATHER_IMPL = _os.environ.get("FLOWCOMPARE_GATHER_IMPL", "take")
+
+
 def gather_neighbors(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather per-neighbour features.
 
@@ -109,6 +117,12 @@ def gather_neighbors(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """
     b, m, k = idx.shape
     flat = idx.reshape(b, m * k)
+    if _GATHER_IMPL == "onehot" and features.dtype == jnp.bfloat16:
+        n = features.shape[1]
+        onehot = (flat[..., None] == jnp.arange(n, dtype=flat.dtype)
+                  ).astype(features.dtype)                 # (B, M*K, N)
+        out = jnp.matmul(onehot, features)                 # exact row copy
+        return out.reshape(b, m, k, features.shape[-1])
     out = jnp.take_along_axis(features, flat[..., None], axis=1)
     return out.reshape(b, m, k, features.shape[-1])
 

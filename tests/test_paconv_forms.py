@@ -79,3 +79,24 @@ def test_paconv_bf16_eval_policy_close_to_f32():
     b = np.asarray(bf16, np.float32)
     denom = max(1e-6, float(np.max(np.abs(a))))
     assert float(np.max(np.abs(a - b))) / denom < 0.08
+
+
+def test_gather_onehot_matches_take_for_bf16():
+    """The one-hot MXU gather must be a BIT-EXACT row copy for bf16
+    features (and silently fall back to take_along_axis for f32)."""
+    key = jax.random.PRNGKey(17)
+    feats = jax.random.normal(key, (2, 40, 16)).astype(jnp.bfloat16)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (2, 6, 4), 0, 40)
+    prev = knn_mod._GATHER_IMPL
+    try:
+        knn_mod._GATHER_IMPL = "take"
+        a = knn_mod.gather_neighbors(feats, idx)
+        knn_mod._GATHER_IMPL = "onehot"
+        b = knn_mod.gather_neighbors(feats, idx)
+        c = knn_mod.gather_neighbors(feats.astype(jnp.float32), idx)
+    finally:
+        knn_mod._GATHER_IMPL = prev
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32))
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(c, np.float32))

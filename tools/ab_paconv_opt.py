@@ -93,10 +93,11 @@ def main():
         enc.__name__ = f"enc_{tag}"
         return jax.jit(enc)
 
-    def set_flags(fps_kernel, form, topk):
+    def set_flags(fps_kernel, form, topk, gather="take"):
         fps_mod._USE_KERNEL = fps_kernel
         pco._FORM = form
         knn_mod._TOPK_IMPL = topk
+        knn_mod._GATHER_IMPL = gather
 
     # round-4 second pass: defaults are now concat+approx (first-pass
     # winners, save/bench/ab_paconv_opt.json); this matrix re-baselines
@@ -107,6 +108,7 @@ def main():
         ("fps_kernel_v2", (True,  "concat", "approx")),
         ("einsum_ctl",    (False, "einsum", "approx")),
         ("topk_ctl",      (False, "concat", "topk")),
+        ("gather_onehot", (False, "concat", "approx", "onehot")),
     ]
 
     results, embs = {}, {}
@@ -156,11 +158,12 @@ def main():
     fps_win = beats_base("fps_kernel_v2")
     conv_w = "einsum" if beats_base("einsum_ctl") else "concat"
     topk_w = "topk" if beats_base("topk_ctl") else "approx"
+    gather_w = "onehot" if beats_base("gather_onehot") else "take"
     winners = {"fps_kernel": fps_win, "conv_form": conv_w,
-               "topk_impl": topk_w}
+               "topk_impl": topk_w, "gather_impl": gather_w}
 
     # full-model eval with the winning flags vs the committed preset bench
-    set_flags(fps_win, conv_w, topk_w)
+    set_flags(fps_win, conv_w, topk_w, gather_w)
 
     def full(params, state, ctxs, tgts, extras):
         def step(c, xs):
