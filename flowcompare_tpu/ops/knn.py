@@ -96,8 +96,12 @@ def knn_self(x: jnp.ndarray, k: int) -> jnp.ndarray:
     exact selection semantics — pinning only the gather path would break
     their validated fused-vs-gather bit-exactness on chip. PAConv, whose
     slot-0 contract IS load-bearing, pins via knn_indices(self_idx=...).
+
+    Pinned to the lax.top_k lowering regardless of _TOPK_IMPL: the fused
+    DGCNN kernels' bit-exactness contract is against top_k's index-ordered
+    tie-breaking (docs/kernels.md), which approx_max_k does not promise.
     """
-    return knn_indices(x, x, k)
+    return knn_indices(x, x, k, impl="topk")
 
 
 # "take" (XLA gather) or "onehot" (one-hot @ features on the MXU — the

@@ -3,12 +3,26 @@
 import os
 
 import jax
+import pytest
 
 from flowcompare_tpu.compile_cache import enable_compile_cache
 
 
+@pytest.fixture(autouse=True)
+def _restore_jax_cache_config():
+    """All three cache config keys are global; restore them even when an
+    assertion fails mid-test (tmp_path dies with the test, and later
+    compiles must not try writing into it)."""
+    keys = ("jax_compilation_cache_dir",
+            "jax_persistent_cache_min_compile_time_secs",
+            "jax_persistent_cache_min_entry_size_bytes")
+    prev = {k: getattr(jax.config, k) for k in keys}
+    yield
+    for k, v in prev.items():
+        jax.config.update(k, v)
+
+
 def test_enable_compile_cache_redirect_and_optout(tmp_path, monkeypatch):
-    prev = jax.config.jax_compilation_cache_dir
     target = str(tmp_path / "cache")
     monkeypatch.setenv("FLOWCOMPARE_COMPILE_CACHE", target)
     got = enable_compile_cache()
@@ -25,5 +39,3 @@ def test_enable_compile_cache_redirect_and_optout(tmp_path, monkeypatch):
     monkeypatch.delenv("FLOWCOMPARE_COMPILE_CACHE")
     other = str(tmp_path / "cache2")
     assert enable_compile_cache(other) == other
-    # leave global jax config as we found it (tmp_path dies with the test)
-    jax.config.update("jax_compilation_cache_dir", prev)

@@ -1,7 +1,7 @@
 """FPS Pallas kernel vs the XLA fori-loop formulation.
 
-The kernel runs one batch item per grid step with no cross-step aliasing,
-so interpret mode is exact here (the same scope argument as the one-layer
+The kernel runs the whole batch in ONE grid step with no aliasing, so
+interpret mode is exact here (the same scope argument as the one-layer
 megakernel tests). The contract is BIT-EXACT index equality: same f32
 distance math, same running min, same first-index argmax tie-break.
 """

@@ -100,3 +100,17 @@ def test_gather_onehot_matches_take_for_bf16():
                                   np.asarray(b, np.float32))
     np.testing.assert_array_equal(np.asarray(a, np.float32),
                                   np.asarray(c, np.float32))
+
+
+def test_knn_self_pinned_to_topk(monkeypatch):
+    """knn_self must NEVER route through approx_max_k (the fused DGCNN
+    kernels' bit-exactness contract is against lax.top_k tie order) even
+    when the module default is 'approx'."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 30, 3))
+    monkeypatch.setattr(knn_mod, "_TOPK_IMPL", "approx")
+
+    def _boom(*a, **k):
+        raise AssertionError("knn_self routed through approx_max_k")
+    monkeypatch.setattr(jax.lax, "approx_max_k", _boom)
+    idx = knn_mod.knn_self(x, 5)
+    assert idx.shape == (1, 30, 5)

@@ -87,8 +87,10 @@ def main():
     # NEVER close over params/state/embeddings: the remote compile helper
     # rejects huge constant uploads (HTTP 413, CLAUDE.md) — every big array
     # is an ARGUMENT; timed_chunk's make_chunk prepends the operand tuple.
-    def scan_over(body, n_ops):
-        @jax.jit
+    def scan_over(body, n_ops, tag):
+        # unique program NAME per variant: the tunnel memoizes by jitted
+        # function name + input bits (MEASUREMENT TRAP 3, CLAUDE.md), and
+        # the sa_* variants share shapes AND inputs
         def run(*args):
             ops, chunk = args[:n_ops], args[n_ops:]
 
@@ -97,7 +99,8 @@ def main():
             _, outs = jax.lax.scan(
                 step, 0, chunk[0] if len(chunk) == 1 else chunk)
             return outs
-        return run
+        run.__name__ = f"run_{tag}"
+        return jax.jit(run)
 
     results = {}
 
@@ -108,14 +111,14 @@ def main():
                                          rng=ks[3], training=False)
         return nats
     results["full"] = timed_chunk(
-        scan_over(full_body, 2), lambda i: (params, state) + full_chunk(i))
+        scan_over(full_body, 2, "full"), lambda i: (params, state) + full_chunk(i))
 
     # 2. encoder alone
     def enc_body(params, state, ctx):
         out, _ = model.embed(params, state, ctx, training=False)
         return jnp.sum(out, axis=(1, 2))
     results["encoder"] = timed_chunk(
-        scan_over(enc_body, 2), lambda i: (params, state) + ctx_chunk(i))
+        scan_over(enc_body, 2, "enc"), lambda i: (params, state) + ctx_chunk(i))
 
     # 3. flow alone (embeddings precomputed once, device-resident)
     emb0, _ = jax.jit(lambda p, s, c: model.embed(p, s, c, training=False))(
@@ -137,7 +140,7 @@ def main():
                             rng=ks[3], training=False)
         return -jnp.mean(lp)
     results["flow_only"] = timed_chunk(
-        scan_over(flow_body, 2), lambda i: (params, emb0) + flow_chunk(i))
+        scan_over(flow_body, 2, "flow"), lambda i: (params, emb0) + flow_chunk(i))
 
     # --- encoder internals -------------------------------------------------
     dt = jnp.bfloat16
@@ -190,7 +193,8 @@ def main():
         def body(ep_, es_, cw_, ctx, _kw=kw):
             return sa_chain(ep_, es_, cw_, ctx, **_kw)
         results[name] = timed_chunk(
-            scan_over(body, 3), lambda i: (ep, es, cheap_ws) + ctx_chunk(i))
+            scan_over(body, 3, name),
+            lambda i, _n=name: (ep, es, cheap_ws) + ctx_chunk(i))
 
     out = {
         "preset": args.preset,

@@ -21,17 +21,17 @@ import time
 
 import jax
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
 from flowcompare_tpu.compile_cache import enable_compile_cache
 
 enable_compile_cache()
 
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, ROOT)
-
 CHUNK = int(os.environ.get("FLOWCOMPARE_BENCH_CHUNK", "80"))
 N_CHUNKS = 3
-A100_BASELINE_POINTS_PER_SEC = 75_000.0
+# single source of truth for the baseline estimate
+from bench import A100_BASELINE_POINTS_PER_SEC  # noqa: E402
 
 
 def bench_preset(preset: str) -> dict:
