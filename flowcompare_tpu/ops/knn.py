@@ -108,8 +108,10 @@ def knn_self(x: jnp.ndarray, k: int) -> jnp.ndarray:
 # same trick the fused DGCNN kernel uses for its in-kernel gathers).
 # The one-hot path is BIT-EXACT for bf16 features (1.0 * v is exact, the
 # zero terms vanish exactly) and only engages there: f32 operands would be
-# bf16-rounded by the MXU. A/B: tools/ab_paconv_opt.py.
-_GATHER_IMPL = _os.environ.get("FLOWCOMPARE_GATHER_IMPL", "take")
+# bf16-rounded by the MXU. Default "onehot" by chip A/B: 20.25 vs 23.43
+# ms/batch on the good-surf encoder (save/bench/ab_paconv_opt2.json,
+# same-worker, bf16 parity exact by construction).
+_GATHER_IMPL = _os.environ.get("FLOWCOMPARE_GATHER_IMPL", "onehot")
 
 
 def gather_neighbors(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
