@@ -8,8 +8,9 @@ in ONE grid step with the batch laid out on sublanes and points on lanes:
 every iteration advances ALL items together — a broadcast one-hot
 centroid extract, fused squared-distance, running-min, and per-row
 (cross-lane) first-index argmax, all on (Bpad, Npad) VPU tiles resident
-in VMEM. Indices accumulate into the output block by one-hot adds (no
-dynamic lane stores).
+in VMEM. Indices accumulate in a (Bpad, mpad) carry via slot-masked
+selects (no dynamic lane stores — see the Mosaic pitfalls note in the
+kernel body).
 
 A first (round-4) version ran one ITEM per grid step; grid steps are
 sequential on the TensorCore, so it serialized the batch and measured
@@ -52,12 +53,14 @@ def _kernel(xt_ref, idx_ref, *, n: int, m: int, npad: int, mpad: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, (bpad, npad), 1)
     # padded lanes must never win the per-row argmax
     min_d0 = jnp.where(lane < n, jnp.inf, -jnp.inf)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (1, mpad), 1)
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (bpad, mpad), 1)
 
     def body(i, carry):
         min_d, far, idxv = carry
         # record the incoming pick of every item into slot i
-        idxv = idxv + jnp.where(slot == i, far, 0)         # (Bpad, mpad)
+        idxv = jnp.where(slot == i,
+                         jnp.broadcast_to(far, (bpad, mpad)), idxv)
         mask = (lane == far).astype(jnp.float32)           # (Bpad, npad)
         cx = jnp.sum(X * mask, axis=1, keepdims=True)      # (Bpad, 1)
         cy = jnp.sum(Y * mask, axis=1, keepdims=True)
@@ -76,8 +79,19 @@ def _kernel(xt_ref, idx_ref, *, n: int, m: int, npad: int, mpad: int):
         return min_d, far, idxv
 
     far0 = jnp.zeros((bpad, 1), jnp.int32)
-    _, _, idxv = jax.lax.fori_loop(
-        0, m, body, (min_d0, far0, jnp.zeros((bpad, mpad), jnp.int32)))
+    # Mosaic pitfalls bisected on chip (2026-08-21, v5e), all producing
+    # "invalid relayout {0,0} -> {*,0}" or alignment errors:
+    #   * jnp.zeros init for the accumulator carry: laid out
+    #     sublane-replicated; the loop value varies per sublane and the
+    #     back-edge relayout is unsupported;
+    #   * iota-derived zero inits: constant-folded back to replicated;
+    #   * dynamic minor-dim stores (idx_ref[:, pl.ds(i, 1)] = far):
+    #     lane offsets must be statically 128-aligned.
+    # RUNTIME-data-derived zeros (X * 0 is not foldable under float
+    # semantics — NaN/inf) keep the init in the sublane-varying layout
+    # the loop value has.
+    idxv0 = (X[:, :mpad] * 0.0).astype(jnp.int32)
+    _, _, idxv = jax.lax.fori_loop(0, m, body, (min_d0, far0, idxv0))
     idx_ref[...] = idxv
 
 

@@ -99,16 +99,15 @@ def main():
         knn_mod._TOPK_IMPL = topk
         knn_mod._GATHER_IMPL = gather
 
-    # round-4 second pass: defaults are now concat+approx (first-pass
-    # winners, save/bench/ab_paconv_opt.json); this matrix re-baselines
-    # against them and tests the BATCH-PARALLEL fps kernel v2 plus
-    # reversion controls for each flipped flag
+    # round-4 third pass: defaults are now concat+approx+onehot (pass-1/2
+    # winners, save/bench/ab_paconv_opt{,2}.json); this matrix tests the
+    # BATCH-PARALLEL fps kernel v2 (compile-validated bit-exact on chip
+    # after three Mosaic workarounds — see ops/fps_pallas.py) against the
+    # production baseline, plus a gather reversion control
     variants = [
-        ("base",          (False, "concat", "approx")),
-        ("fps_kernel_v2", (True,  "concat", "approx")),
-        ("einsum_ctl",    (False, "einsum", "approx")),
-        ("topk_ctl",      (False, "concat", "topk")),
-        ("gather_onehot", (False, "concat", "approx", "onehot")),
+        ("base",           (False, "concat", "approx", "onehot")),
+        ("fps_kernel_v2",  (True,  "concat", "approx", "onehot")),
+        ("gather_take_ctl", (False, "concat", "approx", "take")),
     ]
 
     results, embs = {}, {}
@@ -158,9 +157,9 @@ def main():
             parity[tag] = round(d / scale, 8)
 
     fps_win = beats_base("fps_kernel_v2")
-    conv_w = "einsum" if beats_base("einsum_ctl") else "concat"
-    topk_w = "topk" if beats_base("topk_ctl") else "approx"
-    gather_w = "onehot" if beats_base("gather_onehot") else "take"
+    conv_w = "concat"
+    topk_w = "approx"
+    gather_w = "take" if beats_base("gather_take_ctl") else "onehot"
     winners = {"fps_kernel": fps_win, "conv_form": conv_w,
                "topk_impl": topk_w, "gather_impl": gather_w}
 
