@@ -123,11 +123,18 @@ def gather_neighbors(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """
     b, m, k = idx.shape
     flat = idx.reshape(b, m * k)
-    if _GATHER_IMPL == "onehot" and features.dtype == jnp.bfloat16:
+    if _GATHER_IMPL == "onehot" and features.dtype in (jnp.bfloat16,
+                                                       jnp.float32):
         n = features.shape[1]
         onehot = (flat[..., None] == jnp.arange(n, dtype=flat.dtype)
                   ).astype(features.dtype)                 # (B, M*K, N)
-        out = jnp.matmul(onehot, features)                 # exact row copy
+        # exact row copy for BOTH dtypes: bf16 trivially (1.0 * v); f32 via
+        # HIGHEST precision — the bf16x3 splits of v are non-overlapping
+        # mantissa segments, each times 1.0 is exact, and their f32 sum
+        # reconstructs v exactly
+        out = jnp.matmul(onehot, features,
+                         precision=(None if features.dtype == jnp.bfloat16
+                                    else jax.lax.Precision.HIGHEST))
         return out.reshape(b, m, k, features.shape[-1])
     out = jnp.take_along_axis(features, flat[..., None], axis=1)
     return out.reshape(b, m, k, features.shape[-1])

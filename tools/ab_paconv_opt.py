@@ -81,12 +81,14 @@ def main():
 
     parity_ctx = jax.random.normal(ks[1], (CH, B, NC, 6))
 
-    def make_enc(tag):
+    def make_enc(tag, use_model=None):
         """Freshly-traced, uniquely-NAMED encoder-chunk program under the
         currently-set module flags."""
+        mdl = use_model if use_model is not None else model
+
         def enc(params, state, ctxs):
             def step(c, ctx):
-                out, _ = model.embed(params, state, ctx, training=False)
+                out, _ = mdl.embed(params, state, ctx, training=False)
                 return c + 1, out
             _, outs = jax.lax.scan(step, 0, ctxs)
             return outs
@@ -99,15 +101,16 @@ def main():
         knn_mod._TOPK_IMPL = topk
         knn_mod._GATHER_IMPL = gather
 
-    # round-4 third pass: defaults are now concat+approx+onehot (pass-1/2
-    # winners, save/bench/ab_paconv_opt{,2}.json); this matrix tests the
-    # BATCH-PARALLEL fps kernel v2 (compile-validated bit-exact on chip
-    # after three Mosaic workarounds — see ops/fps_pallas.py) against the
-    # production baseline, plus a gather reversion control
+    # round-4 fourth pass: production is bf16 + concat + approx + onehot +
+    # fps-kernel (passes 1-3). Pass 3 found the f32 encoder BEATS the bf16
+    # policy on the take-gather config (17.58 vs 22.94 same-worker) — this
+    # matrix decides the PAConv encoder dtype with the fps kernel and the
+    # (now f32-capable, HIGHEST-precision) one-hot gather in play.
     variants = [
-        ("base",           (False, "concat", "approx", "onehot")),
-        ("fps_kernel_v2",  (True,  "concat", "approx", "onehot")),
-        ("gather_take_ctl", (False, "concat", "approx", "take")),
+        ("base",            (True,  "concat", "approx", "onehot")),
+        ("f32_take_fps",    (True,  "concat", "approx", "take",   "f32")),
+        ("f32_onehot_fps",  (True,  "concat", "approx", "onehot", "f32")),
+        ("bf16_take_fps",   (True,  "concat", "approx", "take")),
     ]
 
     results, embs = {}, {}
@@ -131,8 +134,9 @@ def main():
     print(f"f32_encoder: {results['f32_encoder']} ms/batch", flush=True)
 
     for tag, flags in variants:
-        set_flags(*flags)
-        enc = make_enc(tag)
+        f32 = len(flags) == 5
+        set_flags(*flags[:4])
+        enc = make_enc(tag, use_model=(model_f32 if f32 else None))
         try:
             results[tag] = round(timed(enc, ctx_chunk) * 1e3, 2)
             embs[tag] = enc(params, state, parity_ctx)
@@ -156,12 +160,19 @@ def main():
             d = float(jnp.max(jnp.abs(jnp.asarray(e, jnp.float32) - bf)))
             parity[tag] = round(d / scale, 8)
 
-    fps_win = beats_base("fps_kernel_v2")
+    fps_win = True
     conv_w = "concat"
     topk_w = "approx"
-    gather_w = "take" if beats_base("gather_take_ctl") else "onehot"
+    f32_enc_wins = (beats_base("f32_take_fps")
+                    or beats_base("f32_onehot_fps"))
+    gather_w = "onehot"
+    if f32_enc_wins and isinstance(results.get("f32_take_fps"), float) \
+            and isinstance(results.get("f32_onehot_fps"), float) \
+            and results["f32_take_fps"] < results["f32_onehot_fps"]:
+        gather_w = "take"
     winners = {"fps_kernel": fps_win, "conv_form": conv_w,
-               "topk_impl": topk_w, "gather_impl": gather_w}
+               "topk_impl": topk_w, "gather_impl": gather_w,
+               "encoder_f32": f32_enc_wins}
 
     # full-model eval with the winning flags vs the committed preset bench
     set_flags(fps_win, conv_w, topk_w, gather_w)
