@@ -2,11 +2,12 @@
 
 save/bench/ablate_paconv.json split good-surf's 82.9 ms/batch into flow
 55.4 + encoder 30.5 (kNN/gather ~13, assign-score conv ~10, FPS ~4.5).
-This tool measures each lever on chip, greedily keeping winners:
-
-  1. ops/fps._USE_KERNEL        — Pallas FPS kernel vs XLA fori-loop
-  2. ops/paconv_ops._FORM       — assign-score: einsum / concat / per_m
-  3. ops/knn._TOPK_IMPL         — lax.top_k vs approx_max_k(recall=1.0)
+Four passes of this tool (artifacts ab_paconv_opt{,2,3,4}.json) measured
+each lever same-worker and took the encoder to 15.25 ms — the history and
+the production defaults live in ops/{paconv_ops,knn,fps}.py docstrings
+and CLAUDE.md's round-4 ledger. The current variant matrix re-validates
+the production flag set against single-flag reversions; edit `variants`
+to probe a new lever.
 
 Each variant is a DIFFERENTLY-NAMED jitted program (MEASUREMENT TRAP 3:
 the tunnel memoizes by function name — identically-named cross-variant
@@ -15,10 +16,11 @@ probes can be served each other's results) with device-resident inputs
 recorded per variant (fps kernel must be bit-exact; conv forms drift at
 bf16 rounding).
 
-Writes save/bench/ab_paconv_opt.json and prints the winning flag set.
-Pure-XLA + small-Pallas programs: runs on a degraded compile host.
+Writes save/bench/ab_paconv_opt.json (--out to redirect) and prints the
+winning flag set. Pure-XLA + small-Pallas programs: runs on a degraded
+compile host.
 
-Usage: python tools/ab_paconv_opt.py [--preset good-surf]
+Usage: python tools/ab_paconv_opt.py [--preset good-surf] [--out PATH]
 """
 
 import argparse
