@@ -100,8 +100,14 @@ def knn_self(x: jnp.ndarray, k: int) -> jnp.ndarray:
     Pinned to the lax.top_k lowering regardless of _TOPK_IMPL: the fused
     DGCNN kernels' bit-exactness contract is against top_k's index-ordered
     tie-breaking (docs/kernels.md), which approx_max_k does not promise.
+    FLOWCOMPARE_KNN_SELF_TOPK=approx is an explicit opt-out for the
+    DEGRADED-host XLA-encoder bench rung only (no fused kernel compiles
+    there, so no parity contract binds; membership stays exact at
+    recall=1.0, only tie order can differ).
     """
-    return knn_indices(x, x, k, impl="topk")
+    return knn_indices(x, x, k,
+                       impl=_os.environ.get("FLOWCOMPARE_KNN_SELF_TOPK",
+                                            "topk"))
 
 
 # "take" (XLA gather) or "onehot" (one-hot @ features on the MXU — the
