@@ -119,6 +119,18 @@ def evaluate_on_test(model: FlowCompareModel, params, state,
         (v0l, v1s, extra, v1l_self, v1s_self, v_opp_small, v_opp_large,
          v0s_self, v0l_self, _v0s_orig, _v1s_orig) = item
         b = v1s.shape[0]
+        # The nats accumulator below is a running mean over per-batch means
+        # (reference semantics, test_flow.py:224-227) — exact ONLY for
+        # uniform batch sizes. Guard so a non-drop-last dataset can't
+        # silently skew the published metric.
+        if batch_ind == 0:
+            first_b = b
+        elif b != first_b:
+            raise ValueError(
+                f"evaluate() nats accumulator needs uniform batch sizes "
+                f"(reference running-mean-of-means semantics); got batch "
+                f"{batch_ind} of size {b} after size {first_b}. Use "
+                f"drop_last batching or equal-size batches.")
         contexts = [v0l, v0l_self] + ([v_opp_large, v1l_self]
                                       if compute_reverse else [])
         targets = [v1s, v0s_self] + ([v_opp_small, v1s_self]

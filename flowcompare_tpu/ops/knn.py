@@ -112,11 +112,21 @@ def knn_self(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 # "take" (XLA gather) or "onehot" (one-hot @ features on the MXU — the
 # same trick the fused DGCNN kernel uses for its in-kernel gathers).
-# The one-hot path is BIT-EXACT for bf16 features (1.0 * v is exact, the
-# zero terms vanish exactly) and only engages there: f32 operands would be
-# bf16-rounded by the MXU. Default "onehot" by chip A/B: 20.25 vs 23.43
-# ms/batch on the good-surf encoder (save/bench/ab_paconv_opt2.json,
-# same-worker, bf16 parity exact by construction).
+# The one-hot path is BIT-EXACT for FINITE features in BOTH dtypes: bf16
+# trivially (1.0 * v is exact, zero terms vanish exactly), f32 via
+# Precision.HIGHEST (bf16x3 splits, see gather_neighbors). Default
+# "onehot" by chip A/B: 20.25 vs 23.43 ms/batch on the good-surf encoder
+# (save/bench/ab_paconv_opt2.json, same-worker, parity exact by
+# construction).
+# PRECONDITION: features must be FINITE. The one-hot matmul computes each
+# row as sum(onehot * features), so a single non-finite value anywhere in
+# `features` poisons every output row (0.0 * inf = NaN enters the sum),
+# where take_along_axis would return only the stored rows. This system
+# demonstrably produces non-finite intermediates in OOD conditions
+# (CLAUDE.md MEASUREMENT TRAP 4) — but only downstream of the encoders in
+# flow log-prob space; encoder-side gathers operate on coordinates/features
+# that are finite by construction. Callers gathering potentially-NaN data
+# must pass through jnp.take_along_axis or set FLOWCOMPARE_GATHER_IMPL=take.
 _GATHER_IMPL = _os.environ.get("FLOWCOMPARE_GATHER_IMPL", "onehot")
 
 
@@ -253,6 +263,13 @@ def three_nn_interpolate(unknown_xyz: jnp.ndarray, known_xyz: jnp.ndarray,
 
 def nearest_neighbor_gather(query_xyz: jnp.ndarray, points_xyz: jnp.ndarray,
                             feats: jnp.ndarray) -> jnp.ndarray:
-    """1-NN feature redistribution (pointops featuredistribute/featuregather)."""
-    idx = knn_indices(query_xyz, points_xyz, 1)[..., 0]
+    """1-NN feature redistribution (pointops featuredistribute/featuregather).
+
+    Pinned to the lax.top_k lowering regardless of _TOPK_IMPL: at k=1 the
+    approx path buys nothing, and top_k's index-ordered tie-breaking matches
+    the reference CUDA first-min scan for equidistant points
+    (featuredistribute_cuda_kernel.cu argmin semantics) — keeping this path
+    deterministic under the global approx default.
+    """
+    idx = knn_indices(query_xyz, points_xyz, 1, impl="topk")[..., 0]
     return jnp.take_along_axis(feats, idx[..., None], axis=1)

@@ -52,6 +52,26 @@ def test_evaluate_on_test_runs():
     assert all(0.0 <= m <= 1.0 for m in change_means)
 
 
+def test_evaluate_rejects_ragged_batches():
+    """The nats accumulator is a running mean over per-batch means
+    (reference test_flow.py:224-227 semantics) — exact only for uniform
+    batch sizes, so a ragged final batch must raise, not silently skew."""
+    import pytest
+
+    cfg = tiny_config()
+    model = FlowCompareModel(cfg)
+    params, state = model.init_params(jax.random.PRNGKey(0))
+    ds = SyntheticVoxelDataset(
+        n_items=4, batch_size=2, sample_size=cfg["sample_size"],
+        n_samples_context=cfg["n_samples_context"], with_extra=True,
+        mode="test", include_all=True)
+    batches = list(ds)
+    ragged = batches[:1] + [
+        tuple(t[:1] if t is not None else None for t in batches[1])]
+    with pytest.raises(ValueError, match="uniform batch sizes"):
+        evaluate_on_test(model, params, state, ragged)
+
+
 def test_evaluate_on_test_sharded_matches_unsharded():
     """SPMD data-parallel eval over the fake 8-device mesh reproduces the
     single-device numbers (same jitted program, batch sharded over 'data')."""

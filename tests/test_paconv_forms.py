@@ -82,8 +82,10 @@ def test_paconv_bf16_eval_policy_close_to_f32():
 
 
 def test_gather_onehot_matches_take_for_bf16():
-    """The one-hot MXU gather must be a BIT-EXACT row copy for bf16
-    features (and silently fall back to take_along_axis for f32)."""
+    """The one-hot MXU gather must be a BIT-EXACT row copy for BOTH bf16
+    (1.0 * v exact) and f32 features (Precision.HIGHEST bf16x3 — each
+    non-overlapping mantissa segment times 1.0 is exact and the f32 sum
+    reconstructs v exactly; there is no f32 take_along_axis fallback)."""
     key = jax.random.PRNGKey(17)
     feats = jax.random.normal(key, (2, 40, 16)).astype(jnp.bfloat16)
     idx = jax.random.randint(jax.random.PRNGKey(1), (2, 6, 4), 0, 40)

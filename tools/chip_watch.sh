@@ -9,12 +9,23 @@
 # serialize on flock /tmp/chip.lock so manual chip jobs (run them under
 # the same lock) never overlap.
 #
+# Every probe cycle writes a heartbeat to save/bench/watch_status.json
+# (last probe time + verdict) so a later reader can distinguish "host
+# never healed" from "watcher died" (VERDICT r4 item 8).
+#
 # Usage:  nohup tools/chip_watch.sh [max_hours=6] >/dev/null 2>&1 &
 #         tail -f /tmp/headline_watch.log
 set -u
 LOG=/tmp/headline_watch.log
 cd "$(dirname "$0")/.."
+STATUS=save/bench/watch_status.json
+heartbeat() {  # heartbeat <verdict> [detail]
+  printf '{"at": "%s", "verdict": "%s", "detail": "%s", "pid": %d}\n' \
+    "$(date -u +%Y-%m-%dT%H:%M:%SZ)" "$1" "${2:-}" "$$" > "$STATUS.tmp" \
+    && mv "$STATUS.tmp" "$STATUS"
+}
 echo "watch start $(date)" >> "$LOG"
+heartbeat "starting"
 export PYTHONPATH=/root/.axon_site
 export JAX_PLATFORMS=axon
 unset FLOWCOMPARE_BENCH_RUNG FLOWCOMPARE_BENCH_PRESET FLOWCOMPARE_BENCH_BATCH \
@@ -24,19 +35,28 @@ END=$(( $(date +%s) + ${1:-6} * 3600 ))
 while [ "$(date +%s)" -lt "$END" ]; do
   if ! flock -w 3600 /tmp/chip.lock timeout 90 python -c \
       "import jax, jax.numpy as jnp; print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" >> "$LOG" 2>&1; then
-    echo "worker down $(date)" >> "$LOG"; sleep 300; continue
+    echo "worker down $(date)" >> "$LOG"; heartbeat "worker-down"; sleep 300; continue
   fi
-  if flock -w 3600 /tmp/chip.lock timeout 600 python tools/probe_encoder_compile.py >> "$LOG" 2>&1; then
-    echo "ENCODER_HEALTHY $(date) — running headline_runs 3" >> "$LOG"
+  PROBE_OUT=$(flock -w 3600 /tmp/chip.lock timeout 600 python tools/probe_encoder_compile.py 2>&1)
+  PROBE_RC=$?
+  echo "$PROBE_OUT" >> "$LOG"
+  if [ "$PROBE_RC" -eq 0 ]; then
+    PROBE_PATH=$(echo "$PROBE_OUT" | grep -o 'path=[a-z-]*' | tail -1)
+    echo "ENCODER_HEALTHY ($PROBE_PATH) $(date) — running headline_runs 3" >> "$LOG"
+    heartbeat "encoder-healthy" "$PROBE_PATH"
     if flock -w 3600 /tmp/chip.lock timeout 3600 python tools/headline_runs.py 3 >> "$LOG" 2>&1; then
       echo "HEADLINE_DONE $(date)" >> "$LOG"
+      heartbeat "headline-done" "$PROBE_PATH"
       exit 0
     fi
     echo "headline_runs failed $(date); will re-probe" >> "$LOG"
+    heartbeat "headline-failed" "$PROBE_PATH"
     sleep 300
   else
     echo "encoder compile still degraded $(date)" >> "$LOG"
+    heartbeat "compile-degraded"
     sleep 900
   fi
 done
 echo "WATCH_TIMEOUT $(date)" >> "$LOG"
+heartbeat "watch-timeout"

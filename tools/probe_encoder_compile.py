@@ -17,9 +17,16 @@ import jax
 
 from flowcompare_tpu.compile_cache import enable_compile_cache
 
-enable_compile_cache()   # a healthy compile here immunises later runs
+CACHE_DIR = enable_compile_cache()   # a healthy compile here immunises later runs
 
 import jax.numpy as jnp
+
+
+def _cache_entries() -> set:
+    try:
+        return set(os.listdir(CACHE_DIR)) if CACHE_DIR else set()
+    except OSError:
+        return set()
 
 
 def main():
@@ -41,10 +48,23 @@ def main():
                              dtype=jnp.bfloat16, fused=True)
         return out
 
+    before = _cache_entries()
     t0 = time.time()
     out = enc(params, state, x)
-    print(f"encoder one-launch compiled+ran in {time.time() - t0:.1f}s, "
-          f"out {out.shape} finite={bool(jnp.isfinite(out).all())}")
+    dt = time.time() - t0
+    # Distinguish a true fresh compile from a persistent-cache load: a
+    # cache-hit writes no new entries and loads in ~1 s, while a fresh
+    # encoder compile goes through the remote helper (the component that
+    # degrades). The watcher keys on this token — ENCODER_HEALTHY must
+    # mean the helper itself is healthy, not that the cache is warm
+    # (ADVICE r4: a cache-hit 'healthy' can stall headline_runs on
+    # programs not yet cached).
+    wrote_new = bool(_cache_entries() - before)
+    path = ("fresh-compile" if (CACHE_DIR is None or wrote_new or dt > 15.0)
+            else "cache-hit")
+    print(f"encoder one-launch compiled+ran in {dt:.1f}s, "
+          f"out {out.shape} finite={bool(jnp.isfinite(out).all())} "
+          f"path={path}")
 
 
 if __name__ == "__main__":
