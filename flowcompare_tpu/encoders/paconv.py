@@ -31,6 +31,14 @@ SA_MLPS = lambda c: [[c, 32, 32, 64], [64, 64, 64, 128],
 FP_MLPS = lambda c: [[128 + c, 128, 128, 128], [256 + 64, 256, 128],
                      [256 + 128, 256, 256], [512 + 256, 256, 256]]
 NSAMPLE = 32
+
+# Fused SA-grouping kernel (ops/sa_group_pallas.py) on the eval path:
+# replaces kNN + HBM one-hot gathers with one Pallas launch per level.
+# Eval-only (training keeps the autodiff-able scatter-free gathers);
+# single-device TPU only, like the other fused kernels. Tests force the
+# kernel on CPU via interpret mode.
+_FUSED_GROUPING = True
+_FORCE_FUSED_GROUPING_INTERPRET = False
 SCORENET_HIDDEN = [16]
 M_KERNELS = 8
 
@@ -179,24 +187,38 @@ def _sa_level(params, state, xyz, feats, *, training):
     idx = furthest_point_sampling(xyz_sg, npoint)
     gather = gather_neighbors_mm if training else gather_neighbors
     new_xyz = gather(xyz, idx[..., None])[:, :, 0]
-    # self_idx pins neighbour slot 0 to the center itself (knnquery_heap
-    # contract; the PAConv op's center-feature slot depends on it) even
-    # under the TPU MXU's bf16 distance-rounding noise
-    knn_idx = knn_indices(jax.lax.stop_gradient(new_xyz), xyz_sg, NSAMPLE,
-                          self_idx=idx)
-    if feats.dtype == xyz.dtype:
-        # ONE gather for xyz+feats (half the index traffic of two)
-        grouped = gather(jnp.concatenate((xyz, feats), axis=-1), knn_idx)
-        grouped_xyz, grouped_feats = grouped[..., :3], grouped[..., 3:]
+    on_tpu = (jax.default_backend() == "tpu" and jax.device_count() == 1)
+    if (_FUSED_GROUPING and not training
+            and (on_tpu or _FORCE_FUSED_GROUPING_INTERPRET)):
+        # Fused grouping kernel (ops/sa_group_pallas.py): dist matmul +
+        # exact selection + one-hot MXU gathers in one launch — no
+        # (B, M*K, N) one-hot in HBM. Same membership and self-first
+        # contract as the gather path; slots 1..k-1 are index-ordered
+        # instead of distance-ordered, which everything below (per-slot
+        # ScoreNet, weight bank, max aggregation) is invariant to.
+        from ..ops.sa_group_pallas import sa_group_fused
+        h = sa_group_fused(new_xyz, idx, xyz, feats, NSAMPLE,
+                           interpret=_FORCE_FUSED_GROUPING_INTERPRET)
+        grouped_xyz_diff = h[..., :3]
     else:
-        # bf16 eval policy: features gather at bf16 (half the bytes);
-        # geometry stays f32 — the centre-relative diff below would
-        # catastrophically cancel at bf16
-        grouped_xyz = gather(xyz, knn_idx)
-        grouped_feats = gather(feats, knn_idx)
-    grouped_xyz_diff = (grouped_xyz - new_xyz[:, :, None, :]
-                        ).astype(feats.dtype)
-    h = jnp.concatenate((grouped_xyz_diff, grouped_feats), axis=-1)
+        # self_idx pins neighbour slot 0 to the center itself (knnquery_heap
+        # contract; the PAConv op's center-feature slot depends on it) even
+        # under the TPU MXU's bf16 distance-rounding noise
+        knn_idx = knn_indices(jax.lax.stop_gradient(new_xyz), xyz_sg, NSAMPLE,
+                              self_idx=idx)
+        if feats.dtype == xyz.dtype:
+            # ONE gather for xyz+feats (half the index traffic of two)
+            grouped = gather(jnp.concatenate((xyz, feats), axis=-1), knn_idx)
+            grouped_xyz, grouped_feats = grouped[..., :3], grouped[..., 3:]
+        else:
+            # bf16 eval policy: features gather at bf16 (half the bytes);
+            # geometry stays f32 — the centre-relative diff below would
+            # catastrophically cancel at bf16
+            grouped_xyz = gather(xyz, knn_idx)
+            grouped_feats = gather(feats, knn_idx)
+        grouped_xyz_diff = (grouped_xyz - new_xyz[:, :, None, :]
+                            ).astype(feats.dtype)
+        h = jnp.concatenate((grouped_xyz_diff, grouped_feats), axis=-1)
     new_states = []
     for lp, ls in zip(params, state):
         h, ns = _apply_paconv_layer(lp, ls, h, grouped_xyz_diff, training=training)

@@ -131,7 +131,7 @@ _EXTRACT_X = True
 _PIPELINED_EXTRACT = False
 
 
-def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
+def _knn_select_ranks(xb, xf, rank_ref, *, k: int, self_cols=None):
     """Exact kNN selection of `k` neighbours of each row of xb among the
     rows of xf (squared euclidean, lax.top_k tie semantics: smallest
     distance first, ties admitted in index order), returned (and, when
@@ -140,7 +140,14 @@ def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
     edge_neighbor_max kernel, shared with the whole-encoder megakernel
     (ops/dgcnn_pallas.py). Passing rank_ref=None keeps the ranks as a VMEM
     value — the unrolled extraction slices it statically, skipping a
-    (R, Npad) scratch store + reload per block."""
+    (R, Npad) scratch store + reload per block.
+
+    self_cols: optional (R, 1) int32 — the known column index of each xb
+    row within xf (queries ARE points, e.g. FPS centers). Pins slot 0 to
+    self exactly (the knnquery_heap contract PAConv's center slot depends
+    on) by forcing the self distance below every real one — the in-kernel
+    mirror of ops/knn.knn_indices(self_idx=...), needed because the MXU's
+    bf16 distance rounding leaves the self distance nonzero."""
     r = xb.shape[0]
 
     cross = jnp.dot(xb, xf.T, preferred_element_type=jnp.float32)
@@ -148,6 +155,11 @@ def _knn_select_ranks(xb, xf, rank_ref, *, k: int):
     nf = jnp.sum(xf.astype(jnp.float32) ** 2, axis=1)[None, :]
     d = jnp.maximum(nb - 2.0 * cross + nf, 0.0)
     d_int = pltpu.bitcast(d, jnp.int32)
+    if self_cols is not None:
+        # -1 sorts below every bitcast distance (all >= 0); unique per row
+        # (one self column), so slot rank 1 = self, other ranks unchanged
+        col = jax.lax.broadcasted_iota(jnp.int32, (r, d_int.shape[1]), 1)
+        d_int = jnp.where(col == self_cols, -1, d_int)
 
     # exact k-th smallest per row: binary search on the bit pattern
     def bs_body(_, carry):

@@ -42,15 +42,15 @@ while [ "$(date +%s)" -lt "$END" ]; do
   echo "$PROBE_OUT" >> "$LOG"
   if [ "$PROBE_RC" -eq 0 ]; then
     PROBE_PATH=$(echo "$PROBE_OUT" | grep -o 'path=[a-z-]*' | tail -1)
-    echo "ENCODER_HEALTHY ($PROBE_PATH) $(date) — running headline_runs 3" >> "$LOG"
+    echo "ENCODER_HEALTHY ($PROBE_PATH) $(date) — running healthy_window playbook" >> "$LOG"
     heartbeat "encoder-healthy" "$PROBE_PATH"
-    if flock -w 3600 /tmp/chip.lock timeout 3600 python tools/headline_runs.py 3 >> "$LOG" 2>&1; then
-      echo "HEADLINE_DONE $(date)" >> "$LOG"
-      heartbeat "headline-done" "$PROBE_PATH"
+    if flock -w 3600 /tmp/chip.lock timeout 9000 tools/healthy_window.sh >> "$LOG" 2>&1; then
+      echo "HEALTHY_WINDOW_DONE $(date)" >> "$LOG"
+      heartbeat "healthy-window-done" "$PROBE_PATH"
       exit 0
     fi
-    echo "headline_runs failed $(date); will re-probe" >> "$LOG"
-    heartbeat "headline-failed" "$PROBE_PATH"
+    echo "healthy_window incomplete $(date); will re-probe" >> "$LOG"
+    heartbeat "healthy-window-incomplete" "$PROBE_PATH"
     sleep 300
   else
     echo "encoder compile still degraded $(date)" >> "$LOG"
