@@ -162,8 +162,19 @@ _RUNGS = (
      "delay": 0,  "watchdog": 480},
     {"chunk": 40, "fused": True,  "encoder": "onelaunch",
      "delay": 60, "watchdog": 420},
-    # Rungs below measure a DEGRADED configuration; they only run when no
-    # recorded full-config measurement exists (see _main_with_rungs).
+    # "rolled": the one-launch encoder with rolled row-major extraction
+    # (_UNROLL_EXTRACT/_TRANSPOSED_EXTRACT/_EXTRACT_X off) — the ONE
+    # eval-kNN kernel variant the 2026-08-21 degraded compile host
+    # accepts (33 s compile while every unrolled/transposed variant hangs;
+    # save/bench/probe_compile_variants.json). ~6 ms/batch slower encoder
+    # than production (historic one-launch pre-transposed level), so a
+    # FRESH measurement here still lands ~4.5-4.6x — which beats
+    # republishing a stale 4.85x (VERDICT r4), so unlike the rungs below
+    # it runs even when a recorded measurement exists.
+    {"chunk": 80, "fused": True,  "encoder": "rolled",
+     "delay": 0,  "watchdog": 420},
+    # Rungs below measure a deeply DEGRADED configuration; they only run
+    # when no recorded full-config measurement exists (_main_with_rungs).
     {"chunk": 40, "fused": True,  "encoder": "stages",
      "delay": 0,  "watchdog": 420},
     {"chunk": 10, "fused": True,  "encoder": "xla",
@@ -177,7 +188,8 @@ def _is_full_config(rung: dict) -> bool:
     return rung["fused"] and rung["encoder"] == "onelaunch"
 
 
-_PATH_LABELS = {"onelaunch": "", "stages": ", per-stage encoder kernels",
+_PATH_LABELS = {"onelaunch": "", "rolled": ", rolled-extraction encoder",
+                "stages": ", per-stage encoder kernels",
                 "xla": ", xla encoder"}
 
 
@@ -203,6 +215,13 @@ def main(chunk: int, fused: bool = True, encoder: str = "onelaunch"):
         # per-stage edge-conv kernels instead of the one-launch megakernel
         from flowcompare_tpu.encoders import dgcnn as _dgcnn
         _dgcnn._ONE_LAUNCH = False
+    elif encoder == "rolled":
+        # one-launch megakernel, rolled row-major extraction (the
+        # degraded-host-compilable variant — see _RUNGS comment)
+        from flowcompare_tpu.ops import edgeconv_pallas as _ep
+        _ep._UNROLL_EXTRACT = False
+        _ep._TRANSPOSED_EXTRACT = False
+        _ep._EXTRACT_X = False
     # remat off (eval forward — no memory/compute trade needed),
     # fused_layers on (Pallas flow-layer megakernel, eval-only)
     model = fc.FlowCompareModel(cfg, remat=False, fused_layers=fused)
@@ -370,7 +389,8 @@ def _main_with_rungs():
     # stale label accurate — the worker often restarts right after the
     # compile-helper SIGKILLs, and a probe here would misattribute the
     # compile failure to a worker outage.)
-    if not _is_full_config(rung) and _load_last_good() is not None:
+    if (not _is_full_config(rung) and rung["encoder"] != "rolled"
+            and _load_last_good() is not None):
         _emit_stale("compile host cannot fit the fused program; "
                     "degraded-kernel rungs skipped in favor of the last "
                     "full-config measurement")

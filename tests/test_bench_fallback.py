@@ -100,7 +100,8 @@ def test_degraded_rungs_prefer_recorded_full_measurement(
     p.write_text(json.dumps(last))
     monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
     degraded = next(i for i, r in enumerate(bench._RUNGS)
-                    if not bench._is_full_config(r))
+                    if not bench._is_full_config(r)
+                    and r["encoder"] != "rolled")
     monkeypatch.setenv("FLOWCOMPARE_BENCH_RUNG", str(degraded))
     monkeypatch.setattr(bench, "_wait_for_chip", lambda *a, **k: True)
     monkeypatch.setattr(bench, "main", _fail_if_called("degraded bench"))
@@ -222,6 +223,32 @@ def test_stale_never_substitutes_a_different_preset(bench, monkeypatch):
         bench._emit_stale("compile host down")
 
 
+def test_rolled_rung_runs_fresh_despite_recorded_measurement(
+        bench, capsys, tmp_path, monkeypatch):
+    """The 'rolled' rung is within ~7% of full config, so a FRESH
+    measurement there beats republishing a stale recorded number
+    (VERDICT r4) — it must run even when bench_last_headline exists."""
+    last = {"metric": "m", "value": 99999.0, "unit": "points/sec",
+            "vs_baseline": 1.333, "recorded": "2026-08-19"}
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps(last))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    rolled = next(i for i, r in enumerate(bench._RUNGS)
+                  if r["encoder"] == "rolled")
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_RUNG", str(rolled))
+    monkeypatch.setattr(bench, "_wait_for_chip", lambda *a, **k: True)
+    ran = {}
+
+    def fake_main(chunk, fused=True, encoder="onelaunch"):
+        ran.update(chunk=chunk, fused=fused, encoder=encoder)
+        print(json.dumps({"metric": "fresh", "value": 1.0,
+                          "unit": "points/sec", "vs_baseline": 0.0}))
+
+    monkeypatch.setattr(bench, "main", fake_main)
+    bench._main_with_rungs()
+    assert ran == {"chunk": 80, "fused": True, "encoder": "rolled"}
+
+
 def test_ladder_shape(bench):
     """The ladder must try the fastest configuration first, only shrink,
     end with the pure-XLA rung (the only one the 2026-08-20 degraded
@@ -229,11 +256,13 @@ def test_ladder_shape(bench):
     in the worst case."""
     rungs = bench._RUNGS
     assert rungs[0]["chunk"] == 80 and bench._is_full_config(rungs[0])
-    chunks = [r["chunk"] for r in rungs]
+    # chunk sizes only shrink, except the "rolled" near-full-perf rung
+    # which re-raises to 80 (its compile footprint is the small one)
+    chunks = [r["chunk"] for r in rungs if r["encoder"] != "rolled"]
     assert chunks == sorted(chunks, reverse=True)
     assert not rungs[-1]["fused"] and rungs[-1]["encoder"] == "xla"
     # degradation is monotone: once a kernel is dropped it stays dropped
-    order = {"onelaunch": 0, "stages": 1, "xla": 2}
+    order = {"onelaunch": 0, "rolled": 1, "stages": 2, "xla": 3}
     for a, b in zip(rungs, rungs[1:]):
         assert a["fused"] >= b["fused"]
         assert order[a["encoder"]] <= order[b["encoder"]]

@@ -147,12 +147,16 @@ def test_fullscale_dulcet_universe_parity(tmp_path_factory):
 
 @pytest.mark.slow
 def test_fullscale_exponential_coupling_parity(tmp_path_factory):
-    """Full-scale error-growth law for a COLD flow path (VERDICT r4 item 6):
-    no shipped preset uses ExponentialCoupling, so its parity otherwise
-    rests on toy-scale oracle tests only. Same harness as the preset tests
-    — 115 layers, latent 300, hidden 512, random converted weights, CPU f32
-    — with flow_type=ExponentialCoupling (models/exponential_coupling.py:
-    17-76, expm via the reference's torch algorithm). Deterministic: the
+    """PRODUCTION-DEPTH error-growth law for a COLD flow path (VERDICT r4
+    item 6): no shipped preset uses ExponentialCoupling, so its parity
+    otherwise rests on toy-scale oracle tests only. Full depth (115
+    layers), full sample size (1024), full hidden width (512), random
+    converted weights, CPU f32 — with flow_type=ExponentialCoupling
+    (models/exponential_coupling.py:17-76, expm via the reference's torch
+    algorithm). Latent is reduced 300 -> 60: at latent 300 the exponential
+    coupling's matrix head is 150x150 per point (1.48 B parameters,
+    untestable on CPU and never instantiated by the reference either);
+    depth is the axis the error-growth law lives on. Deterministic: the
     exponential coupling has no stochastic sub-steps."""
     from flowcompare_tpu.configs import derive
 
@@ -162,6 +166,8 @@ def test_fullscale_exponential_coupling_parity(tmp_path_factory):
     try:
         cfg = get_config("dulcet-universe")
         cfg["flow_type"] = "ExponentialCoupling"
+        cfg["latent_dim"] = 60
+        cfg["cif_latent_dim"] = 60
         cfg = derive(cfg)
         torch.manual_seed(7)
         models_dict = mi.initialize_flow(cfg, device="cpu", mode="test")
