@@ -60,7 +60,7 @@ def _sa_group_kernel(newxyz_ref, idx_ref, xyz_ref, feats_ref, out_ref,
     npad = xf.shape[0]
     cdt = feats.dtype
 
-    self_cols = idx_ref[0].reshape(m, 1)         # (M, 1) int32
+    self_cols = idx_ref[0, 0].reshape(m, 1)      # (M, 1) int32
     ranks = _knn_select_ranks(xb, xf, None, k=k, self_cols=self_cols)
     # _knn_select_ranks assigns slots in INDEX order (slot order is
     # irrelevant to DGCNN's max-pool); PAConv's center contract needs the
@@ -163,12 +163,17 @@ def sa_group_fused(new_xyz: jnp.ndarray, idx: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, mpad, 3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, mpad), lambda i: (i, 0)),
+            # idx rides as (1, 1, mpad): a (1, mpad) block would put a
+            # non-8-divisible dim in the sublane slot (Mosaic tiling rule:
+            # last two block dims must be 8/128-divisible or equal the
+            # array's) — caught on chip 2026-08-21, invisible in interpret
+            pl.BlockSpec((1, 1, mpad), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, npad, 3), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, npad, c), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, mpad, k, 3 + c), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, mpad, k, 3 + c), feats.dtype),
         interpret=interpret,
-    )(new_xyz.astype(jnp.float32), idx, xyz.astype(jnp.float32), feats)
+    )(new_xyz.astype(jnp.float32), idx[:, None, :],
+      xyz.astype(jnp.float32), feats)
     return out[:, :m] if mpad != m else out

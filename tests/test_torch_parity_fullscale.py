@@ -235,6 +235,98 @@ def test_fullscale_exponential_coupling_parity(tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_fullscale_spline_coupling_parity(tmp_path_factory):
+    """Full-scale (115 layers, latent 300, hidden 512) error-growth law
+    for the RationalQuadraticSplineCoupling cold path — incl. the
+    reproduced tail-constant quirk (models/spline_coupling.py:172-227).
+    Unlike ExponentialCoupling, the spline head is small (25 params/dim),
+    so the full reference scale fits on CPU."""
+    from flowcompare_tpu.configs import derive
+
+    root = tmp_path_factory.mktemp("refshim_fs_spline")
+    teardown_reference_oracle("")
+    mi = build_reference_oracle(root)
+    try:
+        cfg = get_config("dulcet-universe")
+        cfg["flow_type"] = "RationalQuadraticSplineCoupling"
+        cfg = derive(cfg)
+        torch.manual_seed(7)
+        models_dict = mi.initialize_flow(cfg, device="cpu", mode="test")
+        flow_t, emb_t = models_dict["flow"], models_dict["input_embedder"]
+        save_np = {
+            "flow": {k: v.detach().numpy()
+                     for k, v in flow_t.state_dict().items()},
+            "input_embedder": {k: v.detach().numpy()
+                               for k, v in emb_t.state_dict().items()},
+        }
+        params, state = convert_checkpoint(save_np, cfg)
+        del save_np
+        gc.collect()
+        model = FlowCompareModel(cfg, remat=False)
+
+        rng = np.random.default_rng(72)
+        B, N = 2, cfg["sample_size"]
+        z = rng.normal(size=(B, N, cfg["latent_dim"])).astype(np.float32)
+        ctx = rng.normal(size=(B, N, cfg["input_embedding_dim"])
+                         ).astype(np.float32)
+        extra = rng.normal(size=(B, N, 1)).astype(np.float32)
+
+        with torch.no_grad():
+            zt = torch.from_numpy(z)
+            ldj_t = torch.zeros(zt.shape[:-1])
+            for tr in flow_t.transforms[1:]:
+                zt, ldj = tr(zt, context=torch.from_numpy(ctx),
+                             extra_context=torch.from_numpy(extra))
+                ldj_t = ldj_t + ldj
+            ref_lp = (ldj_t + flow_t.base_dist.log_prob(zt)).numpy()
+            ref_out = zt.numpy()
+        del flow_t, emb_t, models_dict
+        gc.collect()
+
+        h = jnp.asarray(z)
+        acc = jnp.zeros(h.shape[:-1], jnp.float32)
+        ctx_j, extra_j = jnp.asarray(ctx), jnp.asarray(extra)
+        prepared = model._prepare_layers(params["layers"])
+
+        @jax.jit
+        def core(prepared, final_block, h, acc):
+            def body(carry, lp):
+                h, acc = carry
+                h, l = model._layer_fwd(lp, h, ctx_j, extra_j)
+                return (h, acc + l), None
+
+            (h, acc), _ = jax.lax.scan(body, (h, acc), prepared)
+            h, l = model._block_fwd(final_block, h, ctx_j, extra_j)
+            return h, acc + l + standard_normal_logprob(h)
+
+        our_out, our_lp = core(prepared, params["final_block"], h, acc)
+        our_out, our_lp = np.asarray(our_out), np.asarray(our_lp)
+
+        # 115 BOUNDED piecewise-rational layers amplify f32 association
+        # differences chaotically: a value landing 1 ulp across a spline
+        # bin boundary takes a discretely different branch, so a measure-
+        # zero set of points diverges while the bulk stays tight (measured
+        # 2026-08-21: violation fraction 6.3e-5, mean |dnats| 6.3e-3 — the
+        # reference would differ from ITSELF similarly across BLAS
+        # builds). Assert the bulk + the metric that matters, and bound
+        # the boundary-flip set instead of the per-point worst.
+        viol = (np.abs(our_out - ref_out)
+                > 5e-3 + 1e-2 * np.abs(ref_out))
+        delta_nats_mean = (abs(float(np.mean(our_lp)) - float(np.mean(ref_lp)))
+                           * LOG2E / cfg["input_dim"])
+        lp_flip_frac = float(np.mean(
+            np.abs(our_lp - ref_lp) * LOG2E / cfg["input_dim"] > 0.05))
+        print(f"spline full-scale parity: mean |dnats| = "
+              f"{delta_nats_mean:.2e}, out-violation frac = "
+              f"{viol.mean():.2e}, lp-flip frac = {lp_flip_frac:.2e}")
+        assert viol.mean() < 1e-3, viol.mean()
+        assert delta_nats_mean < 0.01, delta_nats_mean
+        assert lp_flip_frac < 5e-3, lp_flip_frac
+    finally:
+        teardown_reference_oracle(str(root))
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("preset", ["helpful-sponge", "good-surf",
                                     "summer-terrain", "swept-energy"])
 def test_fullscale_other_presets_parity(tmp_path_factory, preset):

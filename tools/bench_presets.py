@@ -30,6 +30,13 @@ enable_compile_cache()
 
 CHUNK = int(os.environ.get("FLOWCOMPARE_BENCH_CHUNK", "80"))
 N_CHUNKS = 3
+# Degraded-host encoder override (mirrors bench.py's rungs): "rolled" =
+# one-launch DGCNN kernel with rolled row-major extraction (the one
+# eval-kNN variant the degraded compile helper accepts — see
+# save/bench/probe_compile_variants.json), "xla" = gather formulation.
+# Results are labeled degraded; the full-config numbers remain the
+# healthy-window playbook's job (tools/healthy_window.sh).
+ENCODER = os.environ.get("FLOWCOMPARE_BENCH_ENCODER", "onelaunch")
 # single source of truth for the baseline estimate
 from bench import A100_BASELINE_POINTS_PER_SEC  # noqa: E402
 
@@ -40,6 +47,13 @@ def bench_preset(preset: str) -> dict:
     cfg = fc.get_config(preset)
     cfg["compute_dtype"] = "bfloat16"
     cfg["scan_unroll"] = 4
+    if ENCODER == "xla":
+        cfg["fused_encoder"] = False
+    elif ENCODER == "rolled":
+        from flowcompare_tpu.ops import edgeconv_pallas as _ep
+        _ep._UNROLL_EXTRACT = False
+        _ep._TRANSPOSED_EXTRACT = False
+        _ep._EXTRACT_X = False
     model = fc.FlowCompareModel(cfg, remat=False, fused_layers=True)
     params, state = model.init_params(jax.random.PRNGKey(0))
     bsz = cfg["batch_size"]
@@ -81,9 +95,11 @@ def bench_preset(preset: str) -> dict:
         float(losses[0])
     dt = (time.perf_counter() - t0) / N_CHUNKS
     pps = CHUNK * bsz * cfg["sample_size"] / dt
+    enc_label = {"onelaunch": "", "rolled": ", rolled-extraction encoder",
+                 "xla": ", xla encoder"}[ENCODER]
     return {
         "preset": preset,
-        "metric": f"points/sec/chip (nats eval, {CHUNK}-batch chunks)",
+        "metric": f"points/sec/chip (nats eval, {CHUNK}-batch chunks{enc_label})",
         "value": round(pps, 1),
         "unit": "points/sec",
         "batch_size": bsz,
@@ -93,6 +109,7 @@ def bench_preset(preset: str) -> dict:
         "ms_per_batch": round(1000 * dt / CHUNK, 2),
         "vs_baseline": round(pps / A100_BASELINE_POINTS_PER_SEC, 3),
         "baseline": "estimated-a100",
+        **({"degraded": True} if ENCODER != "onelaunch" else {}),
     }
 
 
