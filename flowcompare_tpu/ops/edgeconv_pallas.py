@@ -35,6 +35,7 @@ Eval-only: the training path keeps the autodiff-able gather formulation
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -75,7 +76,7 @@ _BF16_RANK = False
 # sub-block's one-hot BUILD (VPU) with its gather MATMUL (MXU). Unrolled,
 # the 8 build+dot pairs form one straight-line block and the scheduler can
 # overlap sub-block i's MXU dot with i+1's VPU build. Trace-time.
-_UNROLL_EXTRACT = True
+_UNROLL_EXTRACT = _os.environ.get("FLOWCOMPARE_UNROLL_EXTRACT", "1") != "0"
 
 # TRANSPOSED select+extract: the production extraction matmul
 # H (R_SUB*k, Npad) @ u (Npad, cout) has N = cout = 64..256 output lanes —
@@ -95,7 +96,8 @@ _UNROLL_EXTRACT = True
 # encoder 18.11 -> 15.16 ms/batch (-16%; the win concentrates in the
 # cout=64 stages where row-major extraction idles half the MXU lanes).
 # Production True. Trace-time flag for A/B (tools/ab_enm_transposed.py).
-_TRANSPOSED_EXTRACT = True
+_TRANSPOSED_EXTRACT = _os.environ.get("FLOWCOMPARE_TRANSPOSED_EXTRACT",
+                                       "1") != "0"
 _ROW_SUB_T = 128     # query rows per transposed extraction sub-block (lanes)
 
 # LOW-RANK extraction (one-launch encoder only): u = x @ W_diff has rank
@@ -113,7 +115,7 @@ _ROW_SUB_T = 128     # query rows per transposed extraction sub-block (lanes)
 # monotone so round(max) == max(round) — bit-exact vs extract-u (asserted
 # on CPU interpret in tests/test_pallas_kernels.py and on chip by
 # tools/ab_extract_x.py). Trace-time flag.
-_EXTRACT_X = True
+_EXTRACT_X = _os.environ.get("FLOWCOMPARE_EXTRACT_X", "1") != "0"
 
 # PIPELINED select/extract (one-launch encoder only): a fori_loop body is a
 # Mosaic scheduling BARRIER, so block rb's 31-step binary search (pure VPU)

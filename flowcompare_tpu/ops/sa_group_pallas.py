@@ -52,7 +52,7 @@ _PAD_FAR = 1e4      # pad coordinate far from every real point
 
 
 def _sa_group_kernel(newxyz_ref, idx_ref, xyz_ref, feats_ref, out_ref,
-                     *, k: int, n_real: int):
+                     rank_ref, *, k: int, n_real: int):
     xb = newxyz_ref[0]                           # (M, 3) f32 centers
     xf = xyz_ref[0]                              # (Npad, 3) f32 cloud
     feats = feats_ref[0]                         # (Npad, C)
@@ -72,17 +72,19 @@ def _sa_group_kernel(newxyz_ref, idx_ref, xyz_ref, feats_ref, out_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, ranks.shape, 1)
     is_self = col == self_cols
     self_rank = jnp.sum(jnp.where(is_self, ranks, 0), axis=1, keepdims=True)
-    ranks = jnp.where(is_self, 1,
-                      jnp.where((ranks > 0) & (ranks < self_rank),
-                                ranks + 1, ranks))
+    # store via a VMEM scratch so sub-blocks can be read back with pl.ds
+    # (lax.dynamic_slice on a VALUE has no Pallas TPU lowering — chip
+    # compile error 2026-08-21, invisible in interpret mode)
+    rank_ref[:, :] = jnp.where(is_self, 1,
+                               jnp.where((ranks > 0) & (ranks < self_rank),
+                                         ranks + 1, ranks))
 
     n_sub = m // _ROW_SUB
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (_ROW_SUB, k, npad), 1) + 1
 
     def sub_body(si, _):
         rows = pl.ds(si * _ROW_SUB, _ROW_SUB)
-        rk = jax.lax.dynamic_slice_in_dim(       # (R_SUB, Npad) int32
-            ranks, si * _ROW_SUB, _ROW_SUB, axis=0)
+        rk = rank_ref[rows, :]                   # (R_SUB, Npad) int32
         onehot = (rk[:, None, :] == t_iota)      # (R_SUB, k, Npad) bool
         if k > n_real:
             # k > N pad contract (knnquery_heap's untouched slots /
@@ -105,8 +107,7 @@ def _sa_group_kernel(newxyz_ref, idx_ref, xyz_ref, feats_ref, out_ref,
                          precision=(None if cdt == jnp.bfloat16
                                     else jax.lax.Precision.HIGHEST),
                          preferred_element_type=cdt)
-        xb_sub = jax.lax.dynamic_slice_in_dim(
-            xb, si * _ROW_SUB, _ROW_SUB, axis=0)
+        xb_sub = newxyz_ref[0, rows]             # (R_SUB, 3) f32
         diff = (g_xyz.reshape(_ROW_SUB, k, 3)
                 - xb_sub[:, None, :]).astype(cdt)
         out_ref[0, rows] = jnp.concatenate(
@@ -173,6 +174,7 @@ def sa_group_fused(new_xyz: jnp.ndarray, idx: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, mpad, k, 3 + c), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, mpad, k, 3 + c), feats.dtype),
+        scratch_shapes=[pltpu.VMEM((mpad, npad), jnp.int32)],
         interpret=interpret,
     )(new_xyz.astype(jnp.float32), idx[:, None, :],
       xyz.astype(jnp.float32), feats)
