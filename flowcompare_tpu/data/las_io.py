@@ -4,13 +4,15 @@ Counterpart of reference `utils.load_las` / `utils.save_las`
 (utils.py:20-45,193-234): reads a las/laz file into an (N, 6) float array
 of xyz + rgb-scaled-to-[0,1], and writes one back.
 
-laspy isn't baked into this image, so two extra paths are first-class:
-  * `.npy`/`.npz` clouds (the synthetic scene tool writes those), and
+laspy isn't baked into this image, so three extra paths are first-class:
+  * `.npy`/`.npz` clouds (the synthetic scene tool writes those),
   * a dependency-free minimal **LAS 1.2** reader/writer (uncompressed
     `.las`, point formats 0-3) implemented on numpy below — used
     automatically when laspy is absent, and by tests to exercise the
-    file-level decode path end-to-end. `.laz` (compressed) still requires
-    laspy+lazrs and stays gated.
+    file-level decode path end-to-end, and
+  * a native **LASzip `.laz`** codec (`data/laz.py` over
+    `native/laz_codec.cpp`) — used automatically for `.laz` when laspy
+    is absent; see docs/data.md for its supported envelope.
 """
 
 from __future__ import annotations
@@ -130,12 +132,19 @@ def load_cloud(path: str) -> np.ndarray:
             import laspy  # optional dependency, gated
         except ImportError:
             if ext == ".laz":
+                # native from-scratch LASzip codec (data/laz.py +
+                # native/laz_codec.cpp): covers compressor-2 point
+                # formats 0-3, i.e. the AMS corpus layout
+                from . import laz as _laz
+                if _laz.get_lib() is not None:
+                    return _laz.load_cloud_laz(path)
                 raise ImportError(
-                    f"{path}: reading compressed .laz requires laspy+lazrs "
-                    "(`pip install laspy[lazrs]`), which are not installed. "
-                    "Without them, convert the corpus off-box first — "
-                    "either decompress to .las (`laszip -i tile.laz -o "
-                    "tile.las`, then point the loader at the .las files via "
+                    f"{path}: reading compressed .laz needs the native LAZ "
+                    "codec (g++ to build native/laz_codec.cpp) or "
+                    "laspy+lazrs (`pip install laspy[lazrs]`); neither is "
+                    "available. Convert the corpus off-box first — either "
+                    "decompress to .las (`laszip -i tile.laz -o tile.las`, "
+                    "then point the loader at the .las files via "
                     "cloud_ext='.las') or freeze prepared items into a "
                     "mmap'd pack file on a machine that has laspy "
                     "(`flowcompare pack --data ams ... --out train.fcpack`) "

@@ -102,11 +102,16 @@ def _sa_group_kernel(newxyz_ref, idx_ref, xyz_ref, feats_ref, out_ref,
         g_xyz = jnp.dot(h.astype(jnp.float32), xf,
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
+        # Mosaic requires a 32-bit matmul accumulator (a bf16
+        # preferred_element_type verifies in interpret mode but fails
+        # tpu.matmul verification on chip — caught 2026-08-21); the
+        # one-hot rows copy exact bf16-representable values, so f32
+        # accumulate + downcast is bit-identical to a bf16 gather
         g_feat = jnp.dot(h.astype(cdt) if cdt == jnp.bfloat16
                          else h.astype(jnp.float32), feats,
                          precision=(None if cdt == jnp.bfloat16
                                     else jax.lax.Precision.HIGHEST),
-                         preferred_element_type=cdt)
+                         preferred_element_type=jnp.float32).astype(cdt)
         xb_sub = newxyz_ref[0, rows]             # (R_SUB, 3) f32
         diff = (g_xyz.reshape(_ROW_SUB, k, 3)
                 - xb_sub[:, None, :]).astype(cdt)

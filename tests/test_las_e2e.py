@@ -42,10 +42,15 @@ def test_save_las_without_rgb(tmp_path):
     np.testing.assert_array_equal(back[:, 3:], 0.0)
 
 
-def test_load_laz_without_laspy_is_gated(tmp_path):
+def test_load_laz_without_laspy_uses_native_codec(tmp_path):
+    # a fake .laz (no laszip VLR) must fail loudly INSIDE the native codec
+    # (round 5: .laz no longer gates on laspy when the codec builds)
     p = tmp_path / "cloud.laz"
     p.write_bytes(b"LASF" + b"\x00" * 300)
-    with pytest.raises(ImportError, match="laz"):
+    from flowcompare_tpu.data import laz as laz_mod
+    if laz_mod.get_lib() is None:
+        pytest.skip("native laz codec unavailable")
+    with pytest.raises(ValueError, match="laszip VLR"):
         load_cloud(str(p))
 
 
@@ -130,15 +135,56 @@ def test_las_14_is_rejected_by_builtin_reader(tmp_path):
         load_cloud(str(p))
 
 
-def test_laz_gate_message_carries_conversion_recipe(tmp_path):
-    """The .laz ImportError must spell out the off-box conversion routes
+def test_laz_gate_message_carries_conversion_recipe(tmp_path, monkeypatch):
+    """When NEITHER laspy nor the native codec is available, the .laz
+    ImportError must spell out the off-box conversion routes
     (docs/data.md) — a bare 'install laspy' strands the user."""
+    from flowcompare_tpu.data import laz as laz_mod
+    monkeypatch.setattr(laz_mod, "get_lib", lambda: None)
     p = tmp_path / "cloud.laz"
     p.write_bytes(b"LASF" + b"\x00" * 300)
     with pytest.raises(ImportError) as ei:
         load_cloud(str(p))
     msg = str(ei.value)
     assert "laspy" in msg and "pack" in msg and "docs/data.md" in msg
+
+
+def test_laz_scene_to_voxel_pairs(tmp_path):
+    """The reference's ACTUAL data path — compressed .laz scans on disk
+    through AmsVoxelLoader's offline pipeline (reference
+    dataloaders/ams_voxel_loader.py:128-141 reads .laz via laspy; here the
+    native LASzip codec decodes, registration and voxel pairing follow)."""
+    from flowcompare_tpu.data import laz as laz_mod
+    if laz_mod.get_lib() is None:
+        pytest.skip("native laz codec unavailable")
+    root = tmp_path / "ams_laz"
+    root.mkdir()
+    rng = np.random.default_rng(31)
+    props = []
+    for i, (cx, cy, year) in enumerate(
+            [(0.0, 0.0, 2019), (1.0, 0.5, 2020)]):
+        scan_id = f"scan{i}"
+        cloud = _scene_cloud(rng, removed=(year == 2020)).astype(np.float64)
+        cloud[:, 0] += cx
+        cloud[:, 1] += cy
+        laz_mod.write_laz(str(root / f"{scan_id}.laz"), cloud)
+        props.append({
+            "ImageId": scan_id, "X": cx, "Y": cy, "Height": 2.5,
+            "GroundLevelOffset": 2.5,
+            "RecordingTimeGps": f"{year}-06-01T12:00:00",
+        })
+    (root / "response.json").write_text(json.dumps(
+        {"RecordingProperties": props}))
+    loader = AmsVoxelLoader(
+        str(root), str(root), str(tmp_path / "processed_laz"),
+        clearance=6, n_samples=64, n_samples_context=96,
+        final_voxel_size=(2.0, 2.0, 4.0), context_voxel_size=(2.2, 2.2, 4.2),
+        mode="train", self_pairs_train=True, cloud_ext=".laz",
+        min_cloud_points=500)
+    assert len(loader) > 0
+    ctx, sample, extra = loader[0][:3]
+    assert ctx.shape == (96, 6) and sample.shape == (64, 6)
+    assert np.isfinite(ctx).all() and np.isfinite(sample).all()
 
 
 def test_save_las_wide_extent_does_not_wrap(tmp_path):
