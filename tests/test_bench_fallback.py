@@ -249,6 +249,67 @@ def test_rolled_rung_runs_fresh_despite_recorded_measurement(
     assert ran == {"chunk": 80, "fused": True, "encoder": "rolled"}
 
 
+def _auth_artifact(value=380000.0):
+    return {"metric": "points/sec/chip (nats eval, dulcet-universe, "
+                      "80-batch chunks)",
+            "value": value, "unit": "points/sec", "vs_baseline": 5.07,
+            "baseline": "estimated-a100", "recorded": "2026-08-21",
+            "runs": [375000.0, value, 386000.0], "spread_pct": 2.9,
+            "worker": "w", "chunk": 80, "preset": "dulcet-universe"}
+
+
+def test_same_round_authoritative_median_is_emitted_not_remeasured(
+        bench, capsys, tmp_path, monkeypatch):
+    """A fresh (<18 h) headline_runs.py median-of->=3 IS this round's
+    measurement — bench.py must republish it stale:false without touching
+    the chip (one more fresh run cannot beat the median of three, and the
+    ladder risks the driver window)."""
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps(_auth_artifact()))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    monkeypatch.setattr(bench, "_wait_for_chip", _fail_if_called("chip"))
+    monkeypatch.setattr(bench, "main", _fail_if_called("bench"))
+    bench._main_with_rungs()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["stale"] is False
+    assert out["value"] == 380000.0 and out["runs"] == _auth_artifact()["runs"]
+    assert "median-of-3" in out["source"]
+
+
+def test_aged_authoritative_median_walks_the_ladder(
+        bench, capsys, tmp_path, monkeypatch):
+    """An authoritative median older than the round must NOT be republished
+    as fresh — the ladder runs (here: chip unreachable -> stale label)."""
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps(_auth_artifact()))
+    old = time.time() - 19 * 3600
+    os.utime(p, (old, old))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    monkeypatch.setattr(bench, "_wait_for_chip", lambda *a, **k: False)
+    monkeypatch.setattr(bench, "main", _fail_if_called("bench"))
+    bench._main_with_rungs()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["stale"] is True
+
+
+def test_interim_artifact_never_takes_the_authoritative_fast_path(
+        bench, tmp_path, monkeypatch):
+    art = dict(_auth_artifact(), interim=True)
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps(art))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    assert bench._authoritative_recent() is None
+
+
+def test_force_fresh_overrides_the_fast_path(bench, tmp_path, monkeypatch):
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps(_auth_artifact()))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    assert bench._authoritative_recent() is not None
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_FORCE_FRESH", "1")
+    assert bench._authoritative_recent() is None
+
+
 def test_ladder_shape(bench):
     """The ladder must try the fastest configuration first, only shrink,
     end with the pure-XLA rung (the only one the 2026-08-20 degraded
