@@ -320,18 +320,19 @@ def _authoritative_recent():
     (same driver round, by construction of the round cadence). Such an
     artifact is this round's measurement campaign — republishing it is
     not staleness, and it is statistically stronger than one more fresh
-    run (worker-to-worker spread ~13%). Returns (artifact, age_s) or
-    None. Opt out with FLOWCOMPARE_BENCH_FORCE_FRESH=1."""
+    run (worker-to-worker spread ~13%). Age comes from the artifact's own
+    recorded_unix field (written by the measuring process) — NOT file
+    mtime, which any git checkout/clone resets to 'now' and would make a
+    months-old artifact look fresh. Returns (artifact, age_s) or None.
+    Opt out with FLOWCOMPARE_BENCH_FORCE_FRESH=1."""
     if os.environ.get("FLOWCOMPARE_BENCH_FORCE_FRESH"):
         return None
     last = _load_last_good()
     if (last is None or last.get("interim")
-            or len(last.get("runs", [])) < 3):
+            or len(last.get("runs", [])) < 3
+            or not isinstance(last.get("recorded_unix"), (int, float))):
         return None
-    try:
-        age = time.time() - os.path.getmtime(_LAST_GOOD)
-    except OSError:
-        return None
+    age = time.time() - last["recorded_unix"]
     return (last, age) if 0 <= age <= _AUTHORITATIVE_MAX_AGE_S else None
 
 
@@ -411,11 +412,14 @@ def _main_with_rungs():
     # Same-round authoritative median (headline_runs.py, n>=3, <18 h old):
     # emit it outright — fresher per-run data cannot beat the median of
     # three fresh runs from the same round, and skipping the ladder keeps
-    # the driver window safe regardless of current host health.
-    auth = _authoritative_recent()
-    if auth is not None:
-        _emit_authoritative(*auth)
-        return
+    # the driver window safe regardless of current host health. An
+    # EXPLICIT rung request is an operator asking for a specific fresh
+    # configuration (CLAUDE.md degraded-host workflow) — honor it.
+    if os.environ.get("FLOWCOMPARE_BENCH_RUNG") is None:
+        auth = _authoritative_recent()
+        if auth is not None:
+            _emit_authoritative(*auth)
+            return
 
     _deadline()   # install the global budget before any waiting starts
 

@@ -150,8 +150,18 @@ def load_cloud(path: str) -> np.ndarray:
                     "(`flowcompare pack --data ams ... --out train.fcpack`) "
                     "and train here with --data packed. See docs/data.md.")
             return _read_las_numpy(path)
-        with laspy.open(path) as f:
-            las = f.read()
+        try:
+            with laspy.open(path) as f:
+                las = f.read()
+        except Exception:
+            # laspy without a LAZ backend raises LaspyException (NOT
+            # ImportError) on .laz — fall through to the native codec
+            # when it can take over, else re-raise laspy's error
+            if ext == ".laz":
+                from . import laz as _laz
+                if _laz.get_lib() is not None:
+                    return _laz.load_cloud_laz(path)
+            raise
         xyz = np.stack([np.asarray(las.x), np.asarray(las.y),
                         np.asarray(las.z)], axis=-1)
         try:

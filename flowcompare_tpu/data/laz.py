@@ -52,12 +52,21 @@ _FMT_SIZE = {0: 20, 1: 28, 2: 26, 3: 34}
 
 
 def _build() -> Optional[str]:
+    # compile to a private temp path then os.replace: concurrent processes
+    # (bench + watcher + tests) racing on a missing/stale .so must never
+    # dlopen a half-written file
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-           _SRC, "-o", _LIB]
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB)
         return _LIB
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -157,8 +166,12 @@ def _parse_laszip_vlr(payload: bytes, path: str):
         if t not in (_ITEM_BYTE, _ITEM_POINT10, _ITEM_GPSTIME11, _ITEM_RGB12):
             raise LazError(f"{path}: unsupported LAZ item type {t} "
                            "(point formats > 5 / LAS 1.4 layered items)")
-        # v1 BYTE and v2 BYTE share the same per-byte diff-model scheme
-        if not (v == 2 or (t == _ITEM_BYTE and v == 1)):
+        # v1 item codecs are DIFFERENT bitstreams (e.g. BYTE v1 is an
+        # 8-bit corrector compressor, not per-byte diff models) — decoding
+        # them with the v2 scheme would desynchronize the shared
+        # arithmetic stream and silently corrupt every later field, so
+        # reject loudly
+        if v != 2:
             raise LazError(
                 f"{path}: LAZ item {t} uses codec version {v}; only "
                 "version 2 (the LASzip default) is supported")
@@ -213,9 +226,10 @@ def read_laz(path: str) -> dict:
         if stored_chunks < n_chunks:
             raise LazError(f"{path}: chunk table has {stored_chunks} entries,"
                            f" expected >= {n_chunks}")
+        # zero-copy read-only views are fine: the C side takes const input
         table_payload = np.frombuffer(
             buf, np.uint8, offset=chunk_table_off + 8,
-            count=len(buf) - chunk_table_off - 8).copy()
+            count=len(buf) - chunk_table_off - 8)
         chunk_bytes = np.zeros(stored_chunks, np.int64)
         rc = lib.laz_decode_chunk_table(
             table_payload, len(table_payload), stored_chunks, chunk_bytes)
@@ -225,7 +239,7 @@ def read_laz(path: str) -> dict:
             [[0], np.cumsum(chunk_bytes[:n_chunks - 1])]).astype(np.int64)
         chunk_counts = np.full(n_chunks, chunk_size, np.int64)
         chunk_counts[-1] = n - chunk_size * (n_chunks - 1)
-        src = np.frombuffer(buf, np.uint8).copy()
+        src = np.frombuffer(buf, np.uint8)
         rc = lib.laz_decode(src, len(src), chunk_starts, chunk_counts,
                             n_chunks, item_types, len(item_types), extra,
                             records)
@@ -311,13 +325,21 @@ def write_laz(path: str, points: np.ndarray, *,
     chunk_bytes = np.zeros(max(n_chunks, 1), np.int64)
     comp = np.zeros(0, np.uint8)
     if n:
-        cap = n * rec_len + 4096 + 16 * n_chunks  # worst case ~raw + slack
-        dst = np.zeros(cap, np.uint8)
-        total = lib.laz_encode(np.ascontiguousarray(rec.reshape(-1)), n,
-                               rec_len, item_types, len(item_types), 0,
-                               chunk_size, dst, cap, chunk_bytes)
+        # the arithmetic coder's worst case EXPANDS high-entropy input
+        # (a random 32-bit delta costs ~50 coded bits vs 32 raw) — retry
+        # with doubled capacity instead of failing on valid data
+        flat = np.ascontiguousarray(rec.reshape(-1))
+        cap = n * rec_len + 4096 + 16 * n_chunks
+        for _ in range(3):
+            dst = np.zeros(cap, np.uint8)
+            total = lib.laz_encode(flat, n, rec_len, item_types,
+                                   len(item_types), 0, chunk_size, dst,
+                                   cap, chunk_bytes)
+            if total >= 0:
+                break
+            cap *= 2
         if total < 0:
-            raise LazError("laz_encode overflow (incompressible input?)")
+            raise LazError("laz_encode overflow (beyond 4x raw size)")
         comp = dst[:total]
     table = np.zeros(16 * max(n_chunks, 1) + 64, np.uint8)
     table_len = lib.laz_encode_chunk_table(

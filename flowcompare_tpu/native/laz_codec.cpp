@@ -735,6 +735,19 @@ struct GpsTime11v2 {
   }
 
   void read(ArDec& dec, uint8_t* item) {
+    // sequence-switch symbols re-enter the read logic with a different
+    // active sequence; loop instead of recursing so a corrupt stream
+    // full of switch symbols cannot grow the stack. A VALID stream emits
+    // at most one switch per point (the encoder switches once then codes
+    // the value); bound the restarts so corrupt data that keeps decoding
+    // switch symbols terminates with the current sequence value instead
+    // of spinning forever.
+    int restarts = 0;
+  restart:
+    if (restarts++ > 8) {
+      std::memcpy(item, &last_gpstime[last_idx], 8);
+      return;
+    }
     if (last_gpstime_diff[last_idx] == 0) {
       uint32_t multi = dec.decodeSymbol(m_0diff);
       if (multi == 1) {  // difference fits 32 bits
@@ -752,8 +765,7 @@ struct GpsTime11v2 {
         multi_extreme_counter[last_idx] = 0;
       } else if (multi > 2) {  // switch to another sequence
         last_idx = (last_idx + multi - 2) & 3;
-        read(dec, item);
-        return;
+        goto restart;
       }
       // multi == 0: time stays the same
     } else {
@@ -807,8 +819,7 @@ struct GpsTime11v2 {
         multi_extreme_counter[last_idx] = 0;
       } else if (multi > GPS_MULTI_CODE_FULL) {
         last_idx = (last_idx + multi - GPS_MULTI_CODE_FULL) & 3;
-        read(dec, item);
-        return;
+        goto restart;
       }
       // multi == GPS_MULTI_UNCHANGED: time stays the same
     }

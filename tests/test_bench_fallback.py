@@ -249,11 +249,12 @@ def test_rolled_rung_runs_fresh_despite_recorded_measurement(
     assert ran == {"chunk": 80, "fused": True, "encoder": "rolled"}
 
 
-def _auth_artifact(value=380000.0):
+def _auth_artifact(value=380000.0, age_s=3600.0):
     return {"metric": "points/sec/chip (nats eval, dulcet-universe, "
                       "80-batch chunks)",
             "value": value, "unit": "points/sec", "vs_baseline": 5.07,
             "baseline": "estimated-a100", "recorded": "2026-08-21",
+            "recorded_unix": int(time.time() - age_s),
             "runs": [375000.0, value, 386000.0], "spread_pct": 2.9,
             "worker": "w", "chunk": 80, "preset": "dulcet-universe"}
 
@@ -279,11 +280,11 @@ def test_same_round_authoritative_median_is_emitted_not_remeasured(
 def test_aged_authoritative_median_walks_the_ladder(
         bench, capsys, tmp_path, monkeypatch):
     """An authoritative median older than the round must NOT be republished
-    as fresh — the ladder runs (here: chip unreachable -> stale label)."""
+    as fresh — the ladder runs (here: chip unreachable -> stale label).
+    Age comes from the artifact's own recorded_unix; a fresh file mtime
+    (e.g. a new git checkout) must NOT rejuvenate it."""
     p = tmp_path / "last.json"
-    p.write_text(json.dumps(_auth_artifact()))
-    old = time.time() - 19 * 3600
-    os.utime(p, (old, old))
+    p.write_text(json.dumps(_auth_artifact(age_s=19 * 3600)))
     monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
     monkeypatch.setattr(bench, "_wait_for_chip", lambda *a, **k: False)
     monkeypatch.setattr(bench, "main", _fail_if_called("bench"))
@@ -299,6 +300,38 @@ def test_interim_artifact_never_takes_the_authoritative_fast_path(
     p.write_text(json.dumps(art))
     monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
     assert bench._authoritative_recent() is None
+
+
+def test_artifact_without_recorded_unix_never_fast_paths(
+        bench, tmp_path, monkeypatch):
+    """Pre-round-5 artifacts (no recorded_unix) have no trustworthy age —
+    file mtime lies after any checkout — so they take the ladder."""
+    art = _auth_artifact()
+    del art["recorded_unix"]
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps(art))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    assert bench._authoritative_recent() is None
+
+
+def test_explicit_rung_request_bypasses_the_fast_path(
+        bench, tmp_path, monkeypatch):
+    """FLOWCOMPARE_BENCH_RUNG is an operator asking for a specific fresh
+    configuration — the authoritative republish must not override it."""
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps(_auth_artifact()))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    rolled = next(i for i, r in enumerate(bench._RUNGS)
+                  if r["encoder"] == "rolled")
+    monkeypatch.setenv("FLOWCOMPARE_BENCH_RUNG", str(rolled))
+    monkeypatch.setattr(bench, "_wait_for_chip", lambda *a, **k: True)
+    ran = {}
+    monkeypatch.setattr(
+        bench, "main",
+        lambda chunk, fused=True, encoder="onelaunch": ran.update(
+            encoder=encoder))
+    bench._main_with_rungs()
+    assert ran.get("encoder") == "rolled"
 
 
 def test_force_fresh_overrides_the_fast_path(bench, tmp_path, monkeypatch):

@@ -241,6 +241,38 @@ def test_big_coordinate_jumps(tmp_path):
     assert np.abs(d["xyz"] - xyz).max() <= q + 1e-9
 
 
+def test_corrupt_streams_do_not_crash(tmp_path):
+    """Decoding flipped/truncated/garbage compressed bytes must return
+    SOMETHING (wrong points) or raise LazError — never crash or hang.
+    The decoder feeds zeros past file end and every model index is
+    bounded, so arbitrary bytes decode to arbitrary-but-bounded output."""
+    pts, rng = _cloud(2000, seed=41)
+    gps = np.cumsum(rng.exponential(1e-5, 2000))
+    p = str(tmp_path / "c.laz")
+    laz.write_laz(p, pts, gps_time=gps, chunk_size=300)
+    raw = bytearray(open(p, "rb").read())
+    hdr_end = 227 + 54 + 52  # header + vlr header + payload (3 items)
+    for seed in range(8):
+        r2 = np.random.default_rng(seed)
+        buf = bytearray(raw)
+        # flip 40 random bytes inside the compressed point region
+        for off in r2.integers(hdr_end + 8, len(raw) - 40, 40):
+            buf[off] ^= int(r2.integers(1, 256))
+        pc = str(tmp_path / f"corrupt{seed}.laz")
+        open(pc, "wb").write(bytes(buf))
+        try:
+            d = laz.read_laz(pc)
+            assert d["xyz"].shape == (2000, 3)
+        except laz.LazError:
+            pass  # loud rejection is fine
+    # hard truncation mid-stream
+    open(str(tmp_path / "trunc.laz"), "wb").write(bytes(raw[:len(raw) // 2]))
+    try:
+        laz.read_laz(str(tmp_path / "trunc.laz"))
+    except laz.LazError:
+        pass
+
+
 def test_rejects_non_laz(tmp_path):
     pts, _ = _cloud(50)
     p = str(tmp_path / "plain.las")

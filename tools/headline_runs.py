@@ -93,7 +93,12 @@ def main(n: int = 3):
         "spread_pct": round((max(values) - min(values)) / med * 100, 1),
         "run_times": [r["at"] for r in runs],
         "worker": worker,
-        "recorded": time.strftime("%Y-%m-%d"),
+        "recorded": time.strftime("%Y-%m-%d %H:%M"),
+        # epoch written by the measuring process itself: bench.py's
+        # same-round fast path ages the artifact off THIS (git checkouts
+        # reset file mtimes, so mtime would claim a months-old artifact
+        # was measured moments ago)
+        "recorded_unix": int(time.time()),
         "chunk": 80,
         "preset": "dulcet-universe",
     }

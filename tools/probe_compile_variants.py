@@ -51,6 +51,14 @@ VARIANTS = {
     "onelaunch_rowmajor_rolled": (True, {"_UNROLL_EXTRACT": False,
                                          "_TRANSPOSED_EXTRACT": False,
                                          "_EXTRACT_X": False}),
+    # row-major rolled + low-rank extraction (the one axis not yet probed
+    # 2026-08-21): extract_x only changes WHICH rows the one-hot matmul
+    # gathers (x instead of u), not the extraction codegen shape — if the
+    # degraded helper accepts it, the rolled rung gains the ~2 ms/batch
+    # extract_x win back
+    "onelaunch_rowmajor_rolled_x": (True, {"_UNROLL_EXTRACT": False,
+                                           "_TRANSPOSED_EXTRACT": False,
+                                           "_EXTRACT_X": True}),
 }
 DEFAULT_LADDER = ["perstage_rolled_t", "perstage_rowmajor_rolled",
                   "onelaunch_rolled_t"]
