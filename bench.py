@@ -162,15 +162,17 @@ _RUNGS = (
      "delay": 0,  "watchdog": 480},
     {"chunk": 40, "fused": True,  "encoder": "onelaunch",
      "delay": 60, "watchdog": 420},
-    # "rolled": the one-launch encoder with rolled row-major extraction
-    # (_UNROLL_EXTRACT/_TRANSPOSED_EXTRACT/_EXTRACT_X off) — the ONE
-    # eval-kNN kernel variant the 2026-08-21 degraded compile host
-    # accepts (33 s compile while every unrolled/transposed variant hangs;
-    # save/bench/probe_compile_variants.json). ~6 ms/batch slower encoder
-    # than production (historic one-launch pre-transposed level), so a
-    # FRESH measurement here still lands ~4.5-4.6x — which beats
-    # republishing a stale 4.85x (VERDICT r4), so unlike the rungs below
-    # it runs even when a recorded measurement exists.
+    # "rolled_x"/"rolled": the one-launch encoder with rolled row-major
+    # extraction — the eval-kNN kernel shapes the 2026-08-21 degraded
+    # compile host accepts (33-40 s compiles while every unrolled or
+    # transposed variant hangs; save/bench/probe_compile_variants.json).
+    # rolled_x keeps the low-rank extract_x gather (~2 ms/batch better);
+    # plain rolled is the fallback if the host rejects even that. A FRESH
+    # measurement here lands ~4.6-4.8x — which beats republishing a stale
+    # 4.85x (VERDICT r4), so unlike the rungs below these run even when a
+    # recorded measurement exists.
+    {"chunk": 80, "fused": True,  "encoder": "rolled_x",
+     "delay": 0,  "watchdog": 420},
     {"chunk": 80, "fused": True,  "encoder": "rolled",
      "delay": 0,  "watchdog": 420},
     # Rungs below measure a deeply DEGRADED configuration; they only run
@@ -188,7 +190,9 @@ def _is_full_config(rung: dict) -> bool:
     return rung["fused"] and rung["encoder"] == "onelaunch"
 
 
-_PATH_LABELS = {"onelaunch": "", "rolled": ", rolled-extraction encoder",
+_PATH_LABELS = {"onelaunch": "",
+                "rolled_x": ", rolled-extraction encoder (low-rank gather)",
+                "rolled": ", rolled-extraction encoder",
                 "stages": ", per-stage encoder kernels",
                 "xla": ", xla encoder"}
 
@@ -215,13 +219,16 @@ def main(chunk: int, fused: bool = True, encoder: str = "onelaunch"):
         # per-stage edge-conv kernels instead of the one-launch megakernel
         from flowcompare_tpu.encoders import dgcnn as _dgcnn
         _dgcnn._ONE_LAUNCH = False
-    elif encoder == "rolled":
+    elif encoder in ("rolled", "rolled_x"):
         # one-launch megakernel, rolled row-major extraction (the
-        # degraded-host-compilable variant — see _RUNGS comment)
+        # degraded-host-compilable variant — see _RUNGS comment);
+        # "rolled_x" keeps the low-rank extract_x gather (also accepted by
+        # the degraded helper, probed 2026-08-21: 40.4 s compile) for the
+        # ~2 ms/batch extraction win
         from flowcompare_tpu.ops import edgeconv_pallas as _ep
         _ep._UNROLL_EXTRACT = False
         _ep._TRANSPOSED_EXTRACT = False
-        _ep._EXTRACT_X = False
+        _ep._EXTRACT_X = encoder == "rolled_x"
     # remat off (eval forward — no memory/compute trade needed),
     # fused_layers on (Pallas flow-layer megakernel, eval-only)
     model = fc.FlowCompareModel(cfg, remat=False, fused_layers=fused)
@@ -436,7 +443,8 @@ def _main_with_rungs():
     # stale label accurate — the worker often restarts right after the
     # compile-helper SIGKILLs, and a probe here would misattribute the
     # compile failure to a worker outage.)
-    if (not _is_full_config(rung) and rung["encoder"] != "rolled"
+    if (not _is_full_config(rung)
+            and not rung["encoder"].startswith("rolled")
             and _load_last_good() is not None):
         _emit_stale("compile host cannot fit the fused program; "
                     "degraded-kernel rungs skipped in favor of the last "

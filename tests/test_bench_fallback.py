@@ -101,7 +101,7 @@ def test_degraded_rungs_prefer_recorded_full_measurement(
     monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
     degraded = next(i for i, r in enumerate(bench._RUNGS)
                     if not bench._is_full_config(r)
-                    and r["encoder"] != "rolled")
+                    and not r["encoder"].startswith("rolled"))
     monkeypatch.setenv("FLOWCOMPARE_BENCH_RUNG", str(degraded))
     monkeypatch.setattr(bench, "_wait_for_chip", lambda *a, **k: True)
     monkeypatch.setattr(bench, "main", _fail_if_called("degraded bench"))
@@ -223,18 +223,19 @@ def test_stale_never_substitutes_a_different_preset(bench, monkeypatch):
         bench._emit_stale("compile host down")
 
 
-def test_rolled_rung_runs_fresh_despite_recorded_measurement(
-        bench, capsys, tmp_path, monkeypatch):
-    """The 'rolled' rung is within ~7% of full config, so a FRESH
+@pytest.mark.parametrize("enc", ["rolled_x", "rolled"])
+def test_rolled_rungs_run_fresh_despite_recorded_measurement(
+        bench, capsys, tmp_path, monkeypatch, enc):
+    """The rolled rungs are within ~5-7% of full config, so a FRESH
     measurement there beats republishing a stale recorded number
-    (VERDICT r4) — it must run even when bench_last_headline exists."""
+    (VERDICT r4) — they must run even when bench_last_headline exists."""
     last = {"metric": "m", "value": 99999.0, "unit": "points/sec",
             "vs_baseline": 1.333, "recorded": "2026-08-19"}
     p = tmp_path / "last.json"
     p.write_text(json.dumps(last))
     monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
     rolled = next(i for i, r in enumerate(bench._RUNGS)
-                  if r["encoder"] == "rolled")
+                  if r["encoder"] == enc)
     monkeypatch.setenv("FLOWCOMPARE_BENCH_RUNG", str(rolled))
     monkeypatch.setattr(bench, "_wait_for_chip", lambda *a, **k: True)
     ran = {}
@@ -246,7 +247,7 @@ def test_rolled_rung_runs_fresh_despite_recorded_measurement(
 
     monkeypatch.setattr(bench, "main", fake_main)
     bench._main_with_rungs()
-    assert ran == {"chunk": 80, "fused": True, "encoder": "rolled"}
+    assert ran == {"chunk": 80, "fused": True, "encoder": enc}
 
 
 def _auth_artifact(value=380000.0, age_s=3600.0):
@@ -352,11 +353,13 @@ def test_ladder_shape(bench):
     assert rungs[0]["chunk"] == 80 and bench._is_full_config(rungs[0])
     # chunk sizes only shrink, except the "rolled" near-full-perf rung
     # which re-raises to 80 (its compile footprint is the small one)
-    chunks = [r["chunk"] for r in rungs if r["encoder"] != "rolled"]
+    chunks = [r["chunk"] for r in rungs
+              if not r["encoder"].startswith("rolled")]
     assert chunks == sorted(chunks, reverse=True)
     assert not rungs[-1]["fused"] and rungs[-1]["encoder"] == "xla"
     # degradation is monotone: once a kernel is dropped it stays dropped
-    order = {"onelaunch": 0, "rolled": 1, "stages": 2, "xla": 3}
+    order = {"onelaunch": 0, "rolled_x": 1, "rolled": 2, "stages": 3,
+             "xla": 4}
     for a, b in zip(rungs, rungs[1:]):
         assert a["fused"] >= b["fused"]
         assert order[a["encoder"]] <= order[b["encoder"]]

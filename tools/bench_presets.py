@@ -49,11 +49,11 @@ def bench_preset(preset: str) -> dict:
     cfg["scan_unroll"] = 4
     if ENCODER == "xla":
         cfg["fused_encoder"] = False
-    elif ENCODER == "rolled":
+    elif ENCODER in ("rolled", "rolled_x"):
         from flowcompare_tpu.ops import edgeconv_pallas as _ep
         _ep._UNROLL_EXTRACT = False
         _ep._TRANSPOSED_EXTRACT = False
-        _ep._EXTRACT_X = False
+        _ep._EXTRACT_X = ENCODER == "rolled_x"
     model = fc.FlowCompareModel(cfg, remat=False, fused_layers=True)
     params, state = model.init_params(jax.random.PRNGKey(0))
     bsz = cfg["batch_size"]
@@ -95,7 +95,9 @@ def bench_preset(preset: str) -> dict:
         float(losses[0])
     dt = (time.perf_counter() - t0) / N_CHUNKS
     pps = CHUNK * bsz * cfg["sample_size"] / dt
-    enc_label = {"onelaunch": "", "rolled": ", rolled-extraction encoder",
+    enc_label = {"onelaunch": "",
+                 "rolled_x": ", rolled-extraction encoder (low-rank gather)",
+                 "rolled": ", rolled-extraction encoder",
                  "xla": ", xla encoder"}[ENCODER]
     return {
         "preset": preset,
