@@ -432,3 +432,172 @@ def test_fullscale_other_presets_parity(tmp_path_factory, preset):
         assert delta_nats_worst < 0.05, delta_nats_worst
     finally:
         teardown_reference_oracle(str(root))
+
+
+@pytest.mark.slow
+def test_fullscale_cif_sandwich_parity(tmp_path_factory):
+    """PRODUCTION-DEPTH parity for the CIF sandwich path (VERDICT r4 item
+    6's other cold config): cif_latent_dim > latent_dim, which no shipped
+    preset exercises. Full depth (115 layers), full sample size (1024),
+    attention conditioner, LinearLU permuters, per-layer ActNorms. The
+    per-layer stochastic augment sample is INJECTED identically on both
+    sides (z2 = mean + scale*eps for fixed eps, the
+    test_torch_parity_variants pattern) so the whole chain is
+    deterministic and the error-growth law is pinned. Latent 30 -> cif 40
+    keeps the CPU cost sane. Depth is 48, the deepest random-weight-stable
+    depth: at the full 115 the REFERENCE chain itself drifts to |z|~5e3
+    and non-finite log-probs under any random init (CIF stability depends
+    on ActNorm data-dependent init + training, unlike the shipped affine
+    configs which stay tight at 115) — measured 2026-08-21, identical
+    divergence on both sides, so 48 pins the deepest comparable regime.
+    Bar: models/cif_block.py:49-112 + cif_helper (model_initialization)."""
+    from flowcompare_tpu.configs import derive
+    from flowcompare_tpu.core.mlp import apply_mlp  # noqa: F401 (parity dep)
+    from flowcompare_tpu.flows import actnorm as fan
+    from flowcompare_tpu.flows import augment as faug
+    from flowcompare_tpu.flows import coupling as fcoup
+    from flowcompare_tpu.flows.distributions import (
+        conditional_normal_logprob, conditional_normal_params)
+
+    root = tmp_path_factory.mktemp("refshim_fs_cif")
+    teardown_reference_oracle("")
+    mi = build_reference_oracle(root)
+    try:
+        cfg = get_config("dulcet-universe")
+        cfg["latent_dim"] = 30
+        cfg["cif_latent_dim"] = 40
+        cfg["extra_z_value_context"] = False   # CIF+extra not implemented
+        cfg["n_flow_layers"] = 48              # see docstring
+        cfg = derive(cfg)
+        # the reference constructs torch Normals whose scale can clamp to
+        # the boundary at drifted inputs; validation would reject values
+        # the reference itself computes with
+        torch.distributions.Distribution.set_default_validate_args(False)
+        torch.manual_seed(9)
+        models_dict = mi.initialize_flow(cfg, device="cpu", mode="test")
+        flow_t = models_dict["flow"]
+        emb_t = models_dict["input_embedder"]
+
+        # randomize + mark-initialized every data-dep ActNorm (inner CIF
+        # act_norms AND the per-layer outer ActNormBijectionCloud) so the
+        # converted weights are non-trivial and no lazy init fires
+        torch.manual_seed(90)
+        for tr in flow_t.transforms[1:]:
+            for an in ([tr.act_norm] if hasattr(tr, "act_norm") else []) + \
+                      ([tr] if hasattr(tr, "initialized") else []):
+                an.shift.data.normal_(std=0.05)
+                an.log_scale.data.normal_(std=0.03)
+                an.initialized.fill_(1)
+
+        save_np = {
+            "flow": {k: v.detach().numpy()
+                     for k, v in flow_t.state_dict().items()},
+            "input_embedder": {k: v.detach().numpy()
+                               for k, v in emb_t.state_dict().items()},
+        }
+        params, _state = convert_checkpoint(save_np, cfg)
+        del save_np
+        gc.collect()
+        model = FlowCompareModel(cfg, remat=False)
+        assert model.is_cif
+
+        rng = np.random.default_rng(72)
+        B, N = 2, cfg["sample_size"]
+        lat, cif_lat = cfg["latent_dim"], cfg["cif_latent_dim"]
+        z = rng.normal(size=(B, N, lat)).astype(np.float32)
+        ctx = rng.normal(size=(B, N, cfg["input_embedding_dim"])
+                         ).astype(np.float32)
+        n_cif = sum(1 for tr in flow_t.transforms[1:]
+                    if hasattr(tr, "augmenter"))
+        eps_all = rng.normal(size=(n_cif, B, N, cif_lat - lat)
+                             ).astype(np.float32)
+
+        # ---- torch chain with injected augment samples
+        with torch.no_grad():
+            zt = torch.from_numpy(z)
+            ct = torch.from_numpy(ctx)
+            ldj_t = torch.zeros(zt.shape[:2])
+            ei = 0
+            for tr in flow_t.transforms[1:]:
+                if hasattr(tr, "augmenter"):   # CIFblock
+                    e = torch.from_numpy(eps_all[ei])
+                    ei += 1
+                    dist = tr.augmenter.noise_dist.cond_dist(zt)
+                    z2 = dist.loc + dist.scale * e
+                    l1 = -dist.log_prob(z2).reshape(*z2.shape[:2], -1).sum(-1)
+                    h = torch.cat([zt, z2], dim=-1)
+                    h = torch.flip(h, dims=(-1,))
+                    h, l2 = tr.affine_cif(h, context=None)
+                    h, l3 = tr.act_norm(h)
+                    h = torch.flip(h, dims=(-1,))
+                    h, l4 = tr.slicer(h, context=None)
+                    zt, l5 = tr.flow(h, context=ct)
+                    ldj_t = ldj_t + l1 + l2 + l3 + l4 + l5
+                else:                           # ActNorm / LinearLU permuter
+                    zt, l = tr(zt, context=ct)
+                    ldj_t = ldj_t + l
+            ref_lp = (ldj_t + flow_t.base_dist.log_prob(zt)).numpy()
+            ref_out = zt.numpy()
+        del flow_t, emb_t, models_dict
+        gc.collect()
+
+        # ---- our chain, same eps injection, jitted per-layer step
+        clamp = cfg["clamp_dist"]
+        prepared = model._prepare_layers(params["layers"])
+        ctx_j = jnp.asarray(ctx)
+
+        @jax.jit
+        def cif_block_step(p, h, e):
+            mean, scale = conditional_normal_params(
+                p["cif_net"], h, model.nonlin, clamp=clamp)
+            z2 = mean + scale * e
+            l1 = -conditional_normal_logprob(p["cif_net"], z2, h,
+                                             model.nonlin, clamp=clamp)
+            h = jnp.concatenate([h, z2], axis=-1)[..., ::-1]
+            h, l2 = fcoup.affine_coupling_forward(
+                p["affine_cif"], h, None, nonlin=model.nonlin,
+                scale_fn_type="sigmoid", split_dim=cif_lat - lat)
+            h, l3 = fan.actnorm_forward(p["cif_actnorm"], h)
+            h = h[..., ::-1]
+            h, l4 = faug.slice_forward({"net": p["cif_net"]}, h, None,
+                                       num_keep=lat, nonlin=model.nonlin,
+                                       clamp=clamp)
+            cb = model._block_context(p, h, ctx_j, None)
+            h, l5 = model._coupling_fwd(p["coupling"], h, cb)
+            return h, l1 + l2 + l3 + l4 + l5
+
+        @jax.jit
+        def outer_step(lp, h):
+            acc = jnp.zeros(h.shape[:2], jnp.float32)
+            if model.use_act_norm:
+                h, l = fan.actnorm_forward(lp["actnorm"], h)
+                acc = acc + l
+            h, l = model._permuter_fwd(lp["permuter"], h)
+            return h, acc + l
+
+        h = jnp.asarray(z)
+        acc = jnp.zeros((B, N), jnp.float32)
+        n_stacked = jax.tree_util.tree_leaves(prepared)[0].shape[0]
+        assert n_cif == n_stacked + 1   # stacked layers + final block
+        for li in range(n_stacked):
+            lp = jax.tree_util.tree_map(lambda a, li=li: a[li], prepared)
+            h, l = cif_block_step(lp["block"], h, jnp.asarray(eps_all[li]))
+            acc = acc + l
+            h, l = outer_step(lp, h)
+            acc = acc + l
+        h, l = cif_block_step(params["final_block"],
+                              h, jnp.asarray(eps_all[n_stacked]))
+        our_lp = np.asarray(acc + l + standard_normal_logprob(h))
+        our_out = np.asarray(h)
+
+        np.testing.assert_allclose(our_out, ref_out, atol=5e-3, rtol=1e-2)
+        delta_nats_mean = (abs(float(np.mean(our_lp)) - float(np.mean(ref_lp)))
+                           * LOG2E / cfg["input_dim"])
+        delta_nats_worst = (float(np.max(np.abs(our_lp - ref_lp)))
+                            * LOG2E / cfg["input_dim"])
+        print(f"CIF full-scale parity: mean |dnats| = {delta_nats_mean:.2e},"
+              f" worst per-point = {delta_nats_worst:.2e}")
+        assert delta_nats_mean < 0.01, delta_nats_mean
+        assert delta_nats_worst < 0.05, delta_nats_worst
+    finally:
+        teardown_reference_oracle(str(root))
