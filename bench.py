@@ -162,17 +162,17 @@ _RUNGS = (
      "delay": 0,  "watchdog": 480},
     {"chunk": 40, "fused": True,  "encoder": "onelaunch",
      "delay": 60, "watchdog": 420},
-    # "rolled_x"/"rolled": the one-launch encoder with rolled row-major
-    # extraction — the eval-kNN kernel shapes the 2026-08-21 degraded
-    # compile host accepts (33-40 s compiles while every unrolled or
-    # transposed variant hangs; save/bench/probe_compile_variants.json).
-    # rolled_x keeps the low-rank extract_x gather (~2 ms/batch better);
-    # plain rolled is the fallback if the host rejects even that. A FRESH
-    # measurement here lands ~4.6-4.8x — which beats republishing a stale
-    # 4.85x (VERDICT r4), so unlike the rungs below these run even when a
-    # recorded measurement exists.
-    {"chunk": 80, "fused": True,  "encoder": "rolled_x",
-     "delay": 0,  "watchdog": 420},
+    # "rolled": the one-launch encoder with rolled row-major extraction
+    # (_UNROLL_EXTRACT/_TRANSPOSED_EXTRACT/_EXTRACT_X off) — the ONE
+    # eval-kNN kernel shape the 2026-08-21 degraded compile host accepts
+    # (33-40 s compiles while every unrolled or transposed variant hangs;
+    # save/bench/probe_compile_variants.json). A FRESH measurement here
+    # lands ~4.6-4.7x — which beats republishing a stale 4.85x (VERDICT
+    # r4), so unlike the rungs below it runs even when a recorded
+    # measurement exists. (The "rolled_x" low-rank-gather variant also
+    # compiles degraded but measured a same-worker WASH — 350.5k vs
+    # 351.2k — so it is a manual encoder mode, not a rung: extract_x's
+    # ~2 ms win exists only in the unrolled extraction codegen.)
     {"chunk": 80, "fused": True,  "encoder": "rolled",
      "delay": 0,  "watchdog": 420},
     # Rungs below measure a deeply DEGRADED configuration; they only run

@@ -223,7 +223,7 @@ def test_stale_never_substitutes_a_different_preset(bench, monkeypatch):
         bench._emit_stale("compile host down")
 
 
-@pytest.mark.parametrize("enc", ["rolled_x", "rolled"])
+@pytest.mark.parametrize("enc", ["rolled"])
 def test_rolled_rungs_run_fresh_despite_recorded_measurement(
         bench, capsys, tmp_path, monkeypatch, enc):
     """The rolled rungs are within ~5-7% of full config, so a FRESH
