@@ -45,6 +45,12 @@ def main():
     # encoder megakernel (CLAUDE.md 2026-08-20) while still compiling the
     # flow megakernel.
     xla_encoder = "--xla-encoder" in sys.argv
+    # --grouping-ab: compare the fused path against ITSELF with the XLA
+    # grouping formulation instead of the f32 scan — isolates the fused
+    # SA-grouping kernel (ops/sa_group_pallas.py, PAConv eval default) at
+    # the end metric. Both sides are fused programs, so this runs on a
+    # degraded compile host that rejects the f32 scan program.
+    grouping_ab = "--grouping-ab" in sys.argv
     # --checkpoint PATH: measure with TRAINED weights (realistic log-prob
     # spread) instead of random init; inputs stay the same synthetic draws
     # --preset NAME: measure another model family. NOTE degraded-host
@@ -70,10 +76,10 @@ def main():
         elif a.startswith("--"):
             # fail loudly on typos — a silently-dropped flag would run an
             # expensive chip measurement in the wrong configuration
-            if a != "--xla-encoder":
+            if a not in ("--xla-encoder", "--grouping-ab"):
                 raise SystemExit(
                     f"unknown option {a!r} (known: --xla-encoder, "
-                    "--checkpoint PATH, --preset NAME)")
+                    "--grouping-ab, --checkpoint PATH, --preset NAME)")
         else:
             argv.append(a)
     n_batches = int(argv[0]) if argv else 20
@@ -143,9 +149,32 @@ def main():
     def lp_pair_fused_bf16(params, state, batch, rng):
         return _both_directions(fast, params, state, batch, rng)
 
-    @jax.jit
-    def lp_pair_scan_f32(params, state, batch, rng):
-        return _both_directions(base, params, state, batch, rng)
+    if grouping_ab:
+        from flowcompare_tpu.encoders import paconv as _paconv
+        if not getattr(_paconv, "_FUSED_GROUPING", False):
+            raise SystemExit("--grouping-ab needs a PAConv preset with the "
+                             "fused grouping default on (e.g. good-surf)")
+
+        @jax.jit
+        def lp_pair_fused_xlagroup(params, state, batch, rng):
+            return _both_directions(fast, params, state, batch, rng)
+
+        lp_pair_scan_f32 = lp_pair_fused_xlagroup
+        # _FUSED_GROUPING is read at TRACE time: trace each differently-
+        # named program under its own value, then pin the default back
+        warm = make_batch(0)
+        wrng = jax.random.fold_in(ks[3], 10 ** 6)
+        jax.block_until_ready(warm)
+        _paconv._FUSED_GROUPING = True
+        jax.block_until_ready(lp_pair_fused_bf16(params, state, warm, wrng))
+        _paconv._FUSED_GROUPING = False
+        jax.block_until_ready(
+            lp_pair_fused_xlagroup(params, state, warm, wrng))
+        _paconv._FUSED_GROUPING = True
+    else:
+        @jax.jit
+        def lp_pair_scan_f32(params, state, batch, rng):
+            return _both_directions(base, params, state, batch, rng)
 
     stats = {f"multiple_{m}": {"agree": 0, "total": 0, "flips": 0,
                                "changed_a": 0, "changed_b": 0,
@@ -216,7 +245,10 @@ def main():
     out = {"n_batches": n_batches, "batch_size": B,
            "points_per_map": cfg["sample_size"],
            "preset": preset,
-           "paths": ("fused bf16 flow megakernel + bf16 XLA encoder "
+           "paths": ("fused bf16 (SA-grouping kernel) vs fused bf16 "
+                     "(XLA grouping) — ops/sa_group_pallas end-metric A/B"
+                     if grouping_ab else
+                     "fused bf16 flow megakernel + bf16 XLA encoder "
                      "(bit-exact vs the encoder kernel) vs f32 lax.scan"
                      if xla_encoder else
                      "fused bf16 megakernels vs f32 lax.scan"),
@@ -241,6 +273,8 @@ def main():
     os.makedirs(outdir, exist_ok=True)
     stem = ("change_map_parity" if preset == "dulcet-universe"
             else f"change_map_parity_{preset}")
+    if grouping_ab:
+        stem += "_grouping"
     name = f"{stem}_trained.json" if ckpt_path else f"{stem}.json"
     with open(os.path.join(outdir, name), "w") as f:
         json.dump(out, f, indent=1)
