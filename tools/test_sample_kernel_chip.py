@@ -34,8 +34,13 @@ N_POINTS = 1024
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="save/bench/sample_kernel_parity.json")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--preset", default="dulcet-universe")
     args = ap.parse_args()
+    if args.out is None:
+        suffix = ("" if args.preset == "dulcet-universe"
+                  else f"_{args.preset}")
+        args.out = f"save/bench/sample_kernel_parity{suffix}.json"
 
     z = jnp.ones((8, 8)) @ jnp.ones((8, 8))
     assert float(z[0, 0]) == 8.0, "chip unhealthy"
@@ -45,7 +50,7 @@ def main():
     from flowcompare_tpu.model import make_sample
     from flowcompare_tpu.ops import flow_layer_pallas as flp
 
-    cfg = fc.get_config("dulcet-universe")
+    cfg = fc.get_config(args.preset)
     cfg["compute_dtype"] = "bfloat16"
     cfg["scan_unroll"] = 4
 
@@ -56,7 +61,7 @@ def main():
     extract_0 = jax.random.normal(ks[0], (B, cfg["n_samples_context"], 6))
     extra = jax.random.normal(ks[1], (B, 1))
 
-    results = {}
+    results = {"preset": args.preset}
     outputs = {}
     for fused in (False, True):
         flp._FUSE_SAMPLING = fused  # trace-time gate (default off until
@@ -68,8 +73,9 @@ def main():
         # remote compile helper 413s on huge constant uploads (CLAUDE.md)
         def _fn(p, s, c0, ex, key, _m=model):
             return make_sample(_m, p, s, key, N_POINTS, c0, ex)
+        tag = args.preset.split("-")[0]
         _fn.__name__ = _fn.__qualname__ = (
-            "sample_kernel" if fused else "sample_scan")
+            f"sample_kernel_{tag}" if fused else f"sample_scan_{tag}")
         fn = jax.jit(_fn)
         for w in range(2):  # compile + executable-load, unique keys
             pts = fn(params, state, extract_0, extra,
