@@ -72,7 +72,8 @@ def main():
     root = tempfile.mkdtemp(prefix="laz_chip_")
     try:
         props = []
-        locations = [(0.0, 0.0), (20.0, 0.0), (0.0, 20.0), (20.0, 20.0)]
+        locations = [(0.0, 0.0), (20.0, 0.0), (0.0, 20.0), (20.0, 20.0),
+                     (40.0, 0.0), (40.0, 20.0)]
         i = 0
         for lx, ly in locations:
             for year, dx, dy in ((2019, 0.0, 0.0), (2020, 1.0, 0.5)):
