@@ -4,8 +4,9 @@ pipeline (registration included) -> train a few steps -> eval.
 The reference's data path runs on real laz scenes
 (/root/reference/dataloaders/ams_voxel_loader.py:105-263); this exercises
 the same path from files on disk through the dependency-free LAS 1.2
-codec in data/las_io.py (laspy isn't available in this image; compressed
-.laz stays gated behind it)."""
+codec in data/las_io.py AND (round 5) the native LASzip .laz codec in
+data/laz.py — laspy isn't available in this image and is no longer
+needed. Chip-level counterpart: tools/laz_train_chip_smoke.py."""
 
 import json
 import os
