@@ -55,7 +55,10 @@ while [ "$(date +%s)" -lt "$END" ]; do
   else
     echo "encoder compile still degraded $(date)" >> "$LOG"
     heartbeat "compile-degraded"
-    sleep 900
+    # the degraded helper now fails FAST (~23 s SIGKILL, 2026-08-21
+    # evening) rather than hanging, so probe cycles are cheap — probe
+    # every ~7 min to catch a short healthy window
+    sleep 420
   fi
 done
 echo "WATCH_TIMEOUT $(date)" >> "$LOG"
