@@ -26,6 +26,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -1126,6 +1127,20 @@ struct ItemLayout {
   }
 };
 
+
+// FLOWCOMPARE_LAZ_THREADS overrides the worker count (tests force the
+// threaded path on single-core boxes; 1 forces serial)
+int64_t laz_thread_count(int64_t n_chunks) {
+  int64_t nt;
+  if (const char* e = std::getenv("FLOWCOMPARE_LAZ_THREADS")) {
+    nt = std::max<int64_t>(1, std::atoll(e));
+  } else {
+    unsigned hw = std::thread::hardware_concurrency();
+    nt = hw ? hw : 4;
+  }
+  return std::min<int64_t>(n_chunks, nt);
+}
+
 }  // namespace
 
 extern "C" {
@@ -1182,8 +1197,7 @@ int64_t laz_decode(const uint8_t* src, int64_t src_len,
       }
     }
   };
-  unsigned hw = std::thread::hardware_concurrency();
-  int64_t nt = std::min<int64_t>(n_chunks, hw ? hw : 4);
+  int64_t nt = laz_thread_count(n_chunks);
   if (nt <= 1) {
     worker();
   } else {
@@ -1240,8 +1254,7 @@ int64_t laz_encode(const uint8_t* src, int64_t n_points, int64_t point_size,
                   enc.buf.size());
     }
   };
-  unsigned hw = std::thread::hardware_concurrency();
-  int64_t nt = std::min<int64_t>(n_chunks, hw ? hw : 4);
+  int64_t nt = laz_thread_count(n_chunks);
   if (nt <= 1) {
     worker();
   } else {

@@ -241,6 +241,27 @@ def test_big_coordinate_jumps(tmp_path):
     assert np.abs(d["xyz"] - xyz).max() <= q + 1e-9
 
 
+def test_threaded_chunk_codec_matches_serial(tmp_path, monkeypatch):
+    """Chunks are independent arithmetic streams decoded/encoded by a
+    thread pool; FLOWCOMPARE_LAZ_THREADS forces the pool on boxes where
+    hardware_concurrency()==1 would silently serialize. Threaded output
+    must be byte-identical to serial."""
+    pts, rng = _cloud(6000, seed=47)
+    gps = np.cumsum(rng.exponential(1e-5, 6000))
+    p_ser = str(tmp_path / "serial.laz")
+    p_thr = str(tmp_path / "threaded.laz")
+    monkeypatch.setenv("FLOWCOMPARE_LAZ_THREADS", "1")
+    laz.write_laz(p_ser, pts, gps_time=gps, chunk_size=500)  # 12 chunks
+    monkeypatch.setenv("FLOWCOMPARE_LAZ_THREADS", "4")
+    laz.write_laz(p_thr, pts, gps_time=gps, chunk_size=500)
+    assert open(p_ser, "rb").read() == open(p_thr, "rb").read()
+    d_thr = laz.read_laz(p_thr)                    # threaded decode
+    monkeypatch.setenv("FLOWCOMPARE_LAZ_THREADS", "1")
+    d_ser = laz.read_laz(p_ser)                    # serial decode
+    assert np.array_equal(d_thr["point_records"], d_ser["point_records"])
+    assert np.array_equal(d_thr["gps_time"], gps)
+
+
 def test_corrupt_streams_do_not_crash(tmp_path):
     """Decoding flipped/truncated/garbage compressed bytes must return
     SOMETHING (wrong points) or raise LazError — never crash or hang.
